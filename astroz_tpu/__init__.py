@@ -1,0 +1,20 @@
+"""astroz_tpu — a TPU-native constellation propagation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the astroz
+astrodynamics toolkit (reference: /root/reference): SGP4/SDP4 analytic
+propagation at constellation scale, numerical force-model propagation,
+mission planning, conjunction screening, and telemetry parsing — designed
+for TPU device meshes rather than CPU SIMD lanes.
+"""
+
+from . import config as _config  # noqa: F401  (enables x64 first)
+
+__version__ = "0.1.0"
+
+from . import constants  # noqa: E402
+from . import time  # noqa: E402
+from . import tle  # noqa: E402
+from . import frames  # noqa: E402
+from . import ops  # noqa: E402
+
+__all__ = ["constants", "time", "tle", "frames", "ops", "__version__"]
