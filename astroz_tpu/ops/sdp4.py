@@ -1,0 +1,830 @@
+"""SDP4 deep-space extension — TPU-native (pure jnp, branchless).
+
+Implements the published SDP4 deep-space algorithm (Vallado, "Revisiting
+Spacetrack Report #3", AIAA 2006-6753: dscom/dsinit/dpper/dspace) with
+the same staging as the reference's ``src/Sdp4.zig`` (dscom at
+Sdp4.zig:344-499, dsinit at :525-657, dpper at :681-759, dspace at
+:774-820, SIMD twins at :1087-1411) — redesigned for XLA:
+
+* **One dense code path for mixed catalogs.** Near-earth satellites get
+  zeroed deep-space coefficients and ``irez = 0``; every deep-space
+  contribution then reduces to an exact no-op, so a mixed catalog runs
+  one branchless kernel instead of the reference's separate SGP4/SDP4
+  batch partitions (Constellation.zig:115-184). This is the
+  masked-dense philosophy of ``Sdp4Batch.zig:199-343`` taken further.
+* **Resonance integration as a masked ``lax.while_loop``** over 720-min
+  steps, running until every lane converges — the vector analogue of the
+  reference's ``while (@reduce(.Or, active))`` loop
+  (Sdp4Batch.zig:257-267).
+* **Functional resonance carry.** ``ResonanceCarry{atime, xli, xni}``
+  (reference: Sdp4.zig:160-171) is an explicit pytree passed in/out, so
+  monotone time sweeps can resume the integrator (or be scanned with
+  ``lax.scan`` along the time axis, see :func:`sdp4_propagate_scan`).
+* **Lyddane branch as a select.** Both the normal and Lyddane periodic
+  paths are computed densely and merged with ``jnp.where``
+  (reference: Sdp4Batch.zig:428-526).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GravityModel, TWO_PI
+from .sgp4 import Sgp4Elements, X2O3, _TEMP4, kepler_and_posvel
+
+PI = jnp.pi
+
+# deep-space constants (Vallado AIAA 2006-6753)
+ZES = 0.01675
+ZEL = 0.05490
+ZNS = 1.19459e-5
+ZNL = 1.5835218e-4
+C1SS = 2.9864797e-6
+C1L = 4.7968065e-7
+ZSINIS = 0.39785416
+ZCOSIS = 0.91744867
+ZCOSGS = 0.1945905
+ZSINGS = -0.98088458
+
+# dsinit resonance constants
+Q22 = 1.7891679e-6
+Q31 = 2.1460748e-6
+Q33 = 2.2123015e-7
+ROOT22 = 1.7891679e-6
+ROOT32 = 3.7393792e-7
+ROOT44 = 7.3636953e-9
+ROOT52 = 1.1428639e-7
+ROOT54 = 2.1765803e-9
+RPTIM = 4.37526908801129966e-3  # earth rotation rate, rad/min
+
+# dspace integrator constants
+FASX2 = 0.13130908
+FASX4 = 2.8843198
+FASX6 = 0.37448087
+G22 = 5.7686396
+G32 = 0.95240898
+G44 = 1.8014998
+G52 = 1.0508330
+G54 = 4.4108898
+STEPP = 720.0
+STEP2 = 259200.0
+
+
+class DeepElements(NamedTuple):
+    """Deep-space coefficient pytree (zeros for near-earth satellites).
+
+    Mirrors the perturbation-coefficient part of ``Sdp4.Elements``
+    (Sdp4.zig:109-148) as SoA arrays.
+    """
+
+    irez: jax.Array  # int32: 0 none, 1 geosynchronous, 2 half-day
+    # lunisolar epoch phase angles
+    zmol: jax.Array
+    zmos: jax.Array
+    # solar periodic coefficients
+    se2: jax.Array
+    se3: jax.Array
+    si2: jax.Array
+    si3: jax.Array
+    sl2: jax.Array
+    sl3: jax.Array
+    sl4: jax.Array
+    sgh2: jax.Array
+    sgh3: jax.Array
+    sgh4: jax.Array
+    sh2: jax.Array
+    sh3: jax.Array
+    # lunar periodic coefficients
+    ee2: jax.Array
+    e3: jax.Array
+    xi2: jax.Array
+    xi3: jax.Array
+    xl2: jax.Array
+    xl3: jax.Array
+    xl4: jax.Array
+    xgh2: jax.Array
+    xgh3: jax.Array
+    xgh4: jax.Array
+    xh2: jax.Array
+    xh3: jax.Array
+    # secular rates
+    dedt: jax.Array
+    didt: jax.Array
+    dmdt: jax.Array
+    dnodt: jax.Array
+    domdt: jax.Array
+    # geosynchronous resonance
+    del1: jax.Array
+    del2: jax.Array
+    del3: jax.Array
+    # half-day resonance
+    d2201: jax.Array
+    d2211: jax.Array
+    d3210: jax.Array
+    d3222: jax.Array
+    d4410: jax.Array
+    d4422: jax.Array
+    d5220: jax.Array
+    d5232: jax.Array
+    d5421: jax.Array
+    d5433: jax.Array
+    # resonance integrator seeds
+    xfact: jax.Array
+    xlamo: jax.Array
+
+
+class ResonanceCarry(NamedTuple):
+    """Resumable state of the 720-min resonance integrator
+    (reference: Sdp4.zig:160-171, Sdp4Batch.zig:128-144)."""
+
+    atime: jax.Array
+    xli: jax.Array
+    xni: jax.Array
+
+
+def fresh_carry(deep: DeepElements, no_unkozai) -> ResonanceCarry:
+    return ResonanceCarry(
+        atime=jnp.zeros_like(deep.xlamo),
+        xli=deep.xlamo,
+        xni=jnp.asarray(no_unkozai) + jnp.zeros_like(deep.xlamo),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dscom: lunisolar geometry common terms (Sdp4.zig:344-499)
+# ---------------------------------------------------------------------------
+
+
+def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_):
+    """Solar + lunar common terms. Returns a dict of everything dsinit
+    and the periodic-coefficient assembly need.
+
+    ``epoch_jd`` is the full Julian date; internally converted to days
+    since 1899-12-31 12:00 as the published algorithm expects.
+    """
+    nm = np_
+    em = ep
+    snodm = jnp.sin(nodep)
+    cnodm = jnp.cos(nodep)
+    sinomm = jnp.sin(argpp)
+    cosomm = jnp.cos(argpp)
+    sinim = jnp.sin(inclp)
+    cosim = jnp.cos(inclp)
+    emsq = em * em
+    betasq = 1.0 - emsq
+    rtemsq = jnp.sqrt(betasq)
+
+    day = epoch_jd - 2415020.0 + tc / 1440.0
+    xnodce = jnp.fmod(4.5236020 - 9.2422029e-4 * day, TWO_PI)
+    stem = jnp.sin(xnodce)
+    ctem = jnp.cos(xnodce)
+    zcosil = 0.91375164 - 0.03568096 * ctem
+    zsinil = jnp.sqrt(1.0 - zcosil * zcosil)
+    zsinhl = 0.089683511 * stem / zsinil
+    zcoshl = jnp.sqrt(1.0 - zsinhl * zsinhl)
+    gam = 5.8351514 + 0.0019443680 * day
+    zx = 0.39785416 * stem / zsinil
+    zy = zcoshl * ctem + 0.91744867 * zsinhl * stem
+    zx = jnp.arctan2(zx, zy)
+    zx = gam + zx - xnodce
+    zcosgl = jnp.cos(zx)
+    zsingl = jnp.sin(zx)
+
+    def pass_terms(zcosg, zsing, zcosi, zsini, zcosh, zsinh, cc):
+        xnoi = 1.0 / nm
+        a1 = zcosg * zcosh + zsing * zcosi * zsinh
+        a3 = -zsing * zcosh + zcosg * zcosi * zsinh
+        a7 = -zcosg * zsinh + zsing * zcosi * zcosh
+        a8 = zsing * zsini
+        a9 = zsing * zsinh + zcosg * zcosi * zcosh
+        a10 = zcosg * zsini
+        a2 = cosim * a7 + sinim * a8
+        a4 = cosim * a9 + sinim * a10
+        a5 = -sinim * a7 + cosim * a8
+        a6 = -sinim * a9 + cosim * a10
+
+        x1 = a1 * cosomm + a2 * sinomm
+        x2 = a3 * cosomm + a4 * sinomm
+        x3 = -a1 * sinomm + a2 * cosomm
+        x4 = -a3 * sinomm + a4 * cosomm
+        x5 = a5 * sinomm
+        x6 = a6 * sinomm
+        x7 = a5 * cosomm
+        x8 = a6 * cosomm
+
+        z31 = 12.0 * x1 * x1 - 3.0 * x3 * x3
+        z32 = 24.0 * x1 * x2 - 6.0 * x3 * x4
+        z33 = 12.0 * x2 * x2 - 3.0 * x4 * x4
+        z1 = 3.0 * (a1 * a1 + a2 * a2) + z31 * emsq
+        z2 = 6.0 * (a1 * a3 + a2 * a4) + z32 * emsq
+        z3 = 3.0 * (a3 * a3 + a4 * a4) + z33 * emsq
+        z11 = -6.0 * a1 * a5 + emsq * (-24.0 * x1 * x7 - 6.0 * x3 * x5)
+        z12 = (-6.0 * (a1 * a6 + a3 * a5)
+               + emsq * (-24.0 * (x2 * x7 + x1 * x8)
+                         - 6.0 * (x3 * x6 + x4 * x5)))
+        z13 = -6.0 * a3 * a6 + emsq * (-24.0 * x2 * x8 - 6.0 * x4 * x6)
+        z21 = 6.0 * a2 * a5 + emsq * (24.0 * x1 * x5 - 6.0 * x3 * x7)
+        z22 = (6.0 * (a4 * a5 + a2 * a6)
+               + emsq * (24.0 * (x2 * x5 + x1 * x6)
+                         - 6.0 * (x4 * x7 + x3 * x8)))
+        z23 = 6.0 * a4 * a6 + emsq * (24.0 * x2 * x6 - 6.0 * x4 * x8)
+        z1 = z1 + z1 + betasq * z31
+        z2 = z2 + z2 + betasq * z32
+        z3 = z3 + z3 + betasq * z33
+        s3 = cc * xnoi
+        s2 = -0.5 * s3 / rtemsq
+        s4 = s3 * rtemsq
+        s1 = -15.0 * em * s4
+        s5 = x1 * x3 + x2 * x4
+        s6 = x2 * x3 + x1 * x4
+        s7 = x2 * x4 - x1 * x3
+        return dict(s1=s1, s2=s2, s3=s3, s4=s4, s5=s5, s6=s6, s7=s7,
+                    z1=z1, z2=z2, z3=z3, z11=z11, z12=z12, z13=z13,
+                    z21=z21, z22=z22, z23=z23, z31=z31, z32=z32, z33=z33)
+
+    # solar pass then lunar pass (Sdp4.zig two-pass loop :380-494)
+    sol = pass_terms(ZCOSGS, ZSINGS, ZCOSIS, ZSINIS, cnodm, snodm, C1SS)
+    lun = pass_terms(zcosgl, zsingl, zcosil, zsinil,
+                     zcoshl * cnodm + zsinhl * snodm,
+                     snodm * zcoshl - cnodm * zsinhl, C1L)
+
+    zmol = jnp.fmod(4.7199672 + 0.22997150 * day - gam, TWO_PI)
+    zmos = jnp.fmod(6.2565837 + 0.017201977 * day, TWO_PI)
+
+    # periodic coefficients: solar (s-prefixed) from the solar pass,
+    # lunar from the lunar pass
+    out = dict(
+        sinim=sinim, cosim=cosim, emsq=emsq, zmol=zmol, zmos=zmos,
+        se2=2.0 * sol["s1"] * sol["s6"],
+        se3=2.0 * sol["s1"] * sol["s7"],
+        si2=2.0 * sol["s2"] * sol["z12"],
+        si3=2.0 * sol["s2"] * (sol["z13"] - sol["z11"]),
+        sl2=-2.0 * sol["s3"] * sol["z2"],
+        sl3=-2.0 * sol["s3"] * (sol["z3"] - sol["z1"]),
+        sl4=-2.0 * sol["s3"] * (-21.0 - 9.0 * emsq) * ZES,
+        sgh2=2.0 * sol["s4"] * sol["z32"],
+        sgh3=2.0 * sol["s4"] * (sol["z33"] - sol["z31"]),
+        sgh4=-18.0 * sol["s4"] * ZES,
+        sh2=-2.0 * sol["s2"] * sol["z22"],
+        sh3=-2.0 * sol["s2"] * (sol["z23"] - sol["z21"]),
+        ee2=2.0 * lun["s1"] * lun["s6"],
+        e3=2.0 * lun["s1"] * lun["s7"],
+        xi2=2.0 * lun["s2"] * lun["z12"],
+        xi3=2.0 * lun["s2"] * (lun["z13"] - lun["z11"]),
+        xl2=-2.0 * lun["s3"] * lun["z2"],
+        xl3=-2.0 * lun["s3"] * (lun["z3"] - lun["z1"]),
+        xl4=-2.0 * lun["s3"] * (-21.0 - 9.0 * emsq) * ZEL,
+        xgh2=2.0 * lun["s4"] * lun["z32"],
+        xgh3=2.0 * lun["s4"] * (lun["z33"] - lun["z31"]),
+        xgh4=-18.0 * lun["s4"] * ZEL,
+        xh2=-2.0 * lun["s2"] * lun["z22"],
+        xh3=-2.0 * lun["s2"] * (lun["z23"] - lun["z21"]),
+    )
+    out["sol"] = sol
+    out["lun"] = lun
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dsinit: secular rates + resonance coefficients (Sdp4.zig:525-657)
+# ---------------------------------------------------------------------------
+
+
+def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
+    """Deep-space init for a whole catalog at once.
+
+    Computes dscom/dsinit for every satellite densely, then zeroes all
+    coefficients where ``~els.is_deep`` so that near-earth lanes are
+    exact no-ops in the unified propagate — mixed catalogs never split
+    (improves on the reference's separate batch lists,
+    Constellation.zig:115-184).
+    """
+    ecco, inclo, nodeo, argpo, mo = (els.ecco, els.inclo, els.nodeo,
+                                     els.argpo, els.mo)
+    no = els.no_unkozai
+    eccsq = ecco * ecco
+    tc = jnp.zeros_like(no)
+
+    d = _dscom(els.epoch_jd, ecco, argpo, tc, inclo, nodeo, no)
+    sol, lun = d["sol"], d["lun"]
+    sinim, cosim, emsq = d["sinim"], d["cosim"], d["emsq"]
+
+    # ---- dsinit secular rates -------------------------------------------
+    ses = sol["s1"] * ZNS * sol["s5"]
+    sis = sol["s2"] * ZNS * (sol["z11"] + sol["z13"])
+    sls = -ZNS * sol["s3"] * (sol["z1"] + sol["z3"] - 14.0 - 6.0 * emsq)
+    sghs = sol["s4"] * ZNS * (sol["z31"] + sol["z33"] - 6.0)
+    shs = -ZNS * sol["s2"] * (sol["z21"] + sol["z23"])
+    near_eq = (inclo < 5.2359877e-2) | (inclo > PI - 5.2359877e-2)
+    shs = jnp.where(near_eq, 0.0, shs)
+    sin_ok = sinim != 0.0
+    safe_sinim = jnp.where(sin_ok, sinim, 1.0)
+    shs = jnp.where(sin_ok, shs / safe_sinim, shs)
+    sgs = sghs - cosim * shs
+
+    dedt = ses + lun["s1"] * ZNL * lun["s5"]
+    didt = sis + lun["s2"] * ZNL * (lun["z11"] + lun["z13"])
+    dmdt = sls - ZNL * lun["s3"] * (lun["z1"] + lun["z3"]
+                                    - 14.0 - 6.0 * emsq)
+    sghl = lun["s4"] * ZNL * (lun["z31"] + lun["z33"] - 6.0)
+    shll = -ZNL * lun["s2"] * (lun["z21"] + lun["z23"])
+    shll = jnp.where(near_eq, 0.0, shll)
+    domdt = sgs + sghl
+    dnodt = shs
+    domdt = jnp.where(sin_ok, domdt - cosim / safe_sinim * shll, domdt)
+    dnodt = jnp.where(sin_ok, dnodt + shll / safe_sinim, dnodt)
+
+    # ---- resonance classification (Sdp4.zig:574-580) --------------------
+    nm = no
+    irez = jnp.zeros(jnp.shape(nm), jnp.int32)
+    irez = jnp.where((nm < 0.0052359877) & (nm > 0.0034906585), 1, irez)
+    irez = jnp.where((nm >= 8.26e-3) & (nm <= 9.24e-3) & (ecco >= 0.5),
+                     2, irez)
+
+    theta = jnp.fmod(els.gsto, TWO_PI)
+    aonv = (nm / grav.xke) ** X2O3
+
+    # ---- half-day resonance (irez == 2): G-functions + D-terms ---------
+    em = ecco
+    emsq_r = eccsq
+    eoc = em * emsq_r
+    g201 = -0.306 - (em - 0.64) * 0.440
+
+    lo = em <= 0.65
+    g211 = jnp.where(lo, 3.616 - 13.2470 * em + 16.2900 * emsq_r,
+                     -72.099 + 331.819 * em - 508.738 * emsq_r
+                     + 266.724 * eoc)
+    g310 = jnp.where(lo, -19.302 + 117.3900 * em - 228.4190 * emsq_r
+                     + 156.5910 * eoc,
+                     -346.844 + 1582.851 * em - 2415.925 * emsq_r
+                     + 1246.113 * eoc)
+    g322 = jnp.where(lo, -18.9068 + 109.7927 * em - 214.6334 * emsq_r
+                     + 146.5816 * eoc,
+                     -342.585 + 1554.908 * em - 2366.899 * emsq_r
+                     + 1215.972 * eoc)
+    g410 = jnp.where(lo, -41.122 + 242.6940 * em - 471.0940 * emsq_r
+                     + 313.9530 * eoc,
+                     -1052.797 + 4758.686 * em - 7193.992 * emsq_r
+                     + 3651.957 * eoc)
+    g422 = jnp.where(lo, -146.407 + 841.8800 * em - 1629.014 * emsq_r
+                     + 1083.4350 * eoc,
+                     -3581.690 + 16178.110 * em - 24462.770 * emsq_r
+                     + 12422.520 * eoc)
+    g520 = jnp.where(
+        lo,
+        -532.114 + 3017.977 * em - 5740.032 * emsq_r + 3708.2760 * eoc,
+        jnp.where(em > 0.715,
+                  -5149.66 + 29936.92 * em - 54087.36 * emsq_r
+                  + 31324.56 * eoc,
+                  1464.74 - 4664.75 * em + 3763.64 * emsq_r))
+    lo7 = em < 0.7
+    g533 = jnp.where(lo7, -919.22770 + 4988.6100 * em
+                     - 9064.7700 * emsq_r + 5542.21 * eoc,
+                     -37995.780 + 161616.52 * em - 229838.20 * emsq_r
+                     + 109377.94 * eoc)
+    g521 = jnp.where(lo7, -822.71072 + 4568.6173 * em
+                     - 8491.4146 * emsq_r + 5337.524 * eoc,
+                     -51752.104 + 218913.95 * em - 309468.16 * emsq_r
+                     + 146349.42 * eoc)
+    g532 = jnp.where(lo7, -853.66600 + 4690.2500 * em
+                     - 8624.7700 * emsq_r + 5341.4 * eoc,
+                     -40023.880 + 170470.89 * em - 242699.48 * emsq_r
+                     + 115605.82 * eoc)
+
+    cosisq = cosim * cosim
+    sini2 = sinim * sinim
+    f220 = 0.75 * (1.0 + 2.0 * cosim + cosisq)
+    f221 = 1.5 * sini2
+    f321 = 1.875 * sinim * (1.0 - 2.0 * cosim - 3.0 * cosisq)
+    f322 = -1.875 * sinim * (1.0 + 2.0 * cosim - 3.0 * cosisq)
+    f441 = 35.0 * sini2 * f220
+    f442 = 39.3750 * sini2 * sini2
+    f522 = 9.84375 * sinim * (sini2 * (1.0 - 2.0 * cosim - 5.0 * cosisq)
+                              + 0.33333333 * (-2.0 + 4.0 * cosim
+                                              + 6.0 * cosisq))
+    f523 = sinim * (4.92187512 * sini2 * (-2.0 - 4.0 * cosim
+                                          + 10.0 * cosisq)
+                    + 6.56250012 * (1.0 + 2.0 * cosim - 3.0 * cosisq))
+    f542 = 29.53125 * sinim * (2.0 - 8.0 * cosim
+                               + cosisq * (-12.0 + 8.0 * cosim
+                                           + 10.0 * cosisq))
+    f543 = 29.53125 * sinim * (-2.0 - 8.0 * cosim
+                               + cosisq * (12.0 + 8.0 * cosim
+                                           - 10.0 * cosisq))
+    xno2 = nm * nm
+    ainv2 = aonv * aonv
+    temp1 = 3.0 * xno2 * ainv2
+    temp = temp1 * ROOT22
+    d2201 = temp * f220 * g201
+    d2211 = temp * f221 * g211
+    temp1 = temp1 * aonv
+    temp = temp1 * ROOT32
+    d3210 = temp * f321 * g310
+    d3222 = temp * f322 * g322
+    temp1 = temp1 * aonv
+    temp = 2.0 * temp1 * ROOT44
+    d4410 = temp * f441 * g410
+    d4422 = temp * f442 * g422
+    temp1 = temp1 * aonv
+    temp = temp1 * ROOT52
+    d5220 = temp * f522 * g520
+    d5232 = temp * f523 * g532
+    temp = 2.0 * temp1 * ROOT54
+    d5421 = temp * f542 * g521
+    d5433 = temp * f543 * g533
+    xlamo2 = jnp.fmod(mo + nodeo + nodeo - theta - theta, TWO_PI)
+    xfact2 = (els.mdot + dmdt
+              + 2.0 * (els.nodedot + dnodt - RPTIM) - no)
+
+    # ---- geosynchronous resonance (irez == 1) ---------------------------
+    g200 = 1.0 + emsq * (-2.5 + 0.8125 * emsq)
+    g310g = 1.0 + 2.0 * emsq
+    g300 = 1.0 + emsq * (-6.0 + 6.60937 * emsq)
+    f220g = 0.75 * (1.0 + cosim) * (1.0 + cosim)
+    f311 = (0.9375 * sinim * sinim * (1.0 + 3.0 * cosim)
+            - 0.75 * (1.0 + cosim))
+    f330 = 1.0 + cosim
+    f330 = 1.875 * f330 * f330 * f330
+    del1 = 3.0 * nm * nm * aonv * aonv
+    del2 = 2.0 * del1 * f220g * g200 * Q22
+    del3 = 3.0 * del1 * f330 * g300 * Q33 * aonv
+    del1 = del1 * f311 * g310g * Q31 * aonv
+    xlamo1 = jnp.fmod(mo + nodeo + argpo - theta, TWO_PI)
+    xpidot = els.argpdot + els.nodedot
+    xfact1 = (els.mdot + xpidot - RPTIM + dmdt + domdt + dnodt - no)
+
+    # merge by irez
+    is1 = irez == 1
+    is2 = irez == 2
+    xlamo = jnp.where(is1, xlamo1, jnp.where(is2, xlamo2, 0.0))
+    xfact = jnp.where(is1, xfact1, jnp.where(is2, xfact2, 0.0))
+
+    def mask2(x):
+        return jnp.where(is2, x, 0.0)
+
+    def mask1(x):
+        return jnp.where(is1, x, 0.0)
+
+    # zero everything on near-earth lanes so the unified kernel no-ops
+    deep_mask = els.is_deep
+
+    def md(x):
+        return jnp.where(deep_mask, x, 0.0)
+
+    return DeepElements(
+        irez=jnp.where(deep_mask, irez, 0),
+        zmol=d["zmol"], zmos=d["zmos"],
+        se2=md(d["se2"]), se3=md(d["se3"]), si2=md(d["si2"]),
+        si3=md(d["si3"]), sl2=md(d["sl2"]), sl3=md(d["sl3"]),
+        sl4=md(d["sl4"]), sgh2=md(d["sgh2"]), sgh3=md(d["sgh3"]),
+        sgh4=md(d["sgh4"]), sh2=md(d["sh2"]), sh3=md(d["sh3"]),
+        ee2=md(d["ee2"]), e3=md(d["e3"]), xi2=md(d["xi2"]),
+        xi3=md(d["xi3"]), xl2=md(d["xl2"]), xl3=md(d["xl3"]),
+        xl4=md(d["xl4"]), xgh2=md(d["xgh2"]), xgh3=md(d["xgh3"]),
+        xgh4=md(d["xgh4"]), xh2=md(d["xh2"]), xh3=md(d["xh3"]),
+        dedt=md(dedt), didt=md(didt), dmdt=md(dmdt), dnodt=md(dnodt),
+        domdt=md(domdt),
+        del1=md(mask1(del1)), del2=md(mask1(del2)), del3=md(mask1(del3)),
+        d2201=md(mask2(d2201)), d2211=md(mask2(d2211)),
+        d3210=md(mask2(d3210)), d3222=md(mask2(d3222)),
+        d4410=md(mask2(d4410)), d4422=md(mask2(d4422)),
+        d5220=md(mask2(d5220)), d5232=md(mask2(d5232)),
+        d5421=md(mask2(d5421)), d5433=md(mask2(d5433)),
+        xfact=md(xfact), xlamo=md(xlamo),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dpper: lunisolar periodics with Lyddane select (Sdp4.zig:681-759)
+# ---------------------------------------------------------------------------
+
+
+def dpper(deep: DeepElements, t, ep, inclp, nodep, argpp, mp, apply_mask):
+    """Apply lunisolar periodic perturbations at time ``t`` (minutes).
+
+    Computes the normal and Lyddane low-inclination paths densely and
+    merges with ``jnp.where`` (reference: Sdp4Batch.zig:428-526). Where
+    ``apply_mask`` is False the inputs pass through untouched.
+    """
+    # solar periodics
+    zm = deep.zmos + ZNS * t
+    zf = zm + 2.0 * ZES * jnp.sin(zm)
+    sinzf = jnp.sin(zf)
+    f2 = 0.5 * sinzf * sinzf - 0.25
+    f3 = -0.5 * sinzf * jnp.cos(zf)
+    ses = deep.se2 * f2 + deep.se3 * f3
+    sis = deep.si2 * f2 + deep.si3 * f3
+    sls = deep.sl2 * f2 + deep.sl3 * f3 + deep.sl4 * sinzf
+    sghs = deep.sgh2 * f2 + deep.sgh3 * f3 + deep.sgh4 * sinzf
+    shs = deep.sh2 * f2 + deep.sh3 * f3
+    # lunar periodics
+    zm = deep.zmol + ZNL * t
+    zf = zm + 2.0 * ZEL * jnp.sin(zm)
+    sinzf = jnp.sin(zf)
+    f2 = 0.5 * sinzf * sinzf - 0.25
+    f3 = -0.5 * sinzf * jnp.cos(zf)
+    sel = deep.ee2 * f2 + deep.e3 * f3
+    sil = deep.xi2 * f2 + deep.xi3 * f3
+    sll = deep.xl2 * f2 + deep.xl3 * f3 + deep.xl4 * sinzf
+    sghl = deep.xgh2 * f2 + deep.xgh3 * f3 + deep.xgh4 * sinzf
+    shll = deep.xh2 * f2 + deep.xh3 * f3
+
+    pe = ses + sel
+    pinc = sis + sil
+    pl = sls + sll
+    pgh = sghs + sghl
+    ph = shs + shll
+
+    inclp_new = inclp + pinc
+    ep_new = ep + pe
+    sinip = jnp.sin(inclp_new)
+    cosip = jnp.cos(inclp_new)
+
+    # ---- normal path (inclination >= 0.2 rad) ---------------------------
+    sin_safe = jnp.where(jnp.abs(sinip) > 1e-12, sinip, 1e-12)
+    ph_n = ph / sin_safe
+    pgh_n = pgh - cosip * ph_n
+    argpp_n = argpp + pgh_n
+    nodep_n = nodep + ph_n
+    mp_n = mp + pl
+
+    # ---- Lyddane path (inclination < 0.2 rad) ---------------------------
+    sinop = jnp.sin(nodep)
+    cosop = jnp.cos(nodep)
+    alfdp = sinip * sinop + ph * cosop + pinc * cosip * sinop
+    betdp = sinip * cosop - ph * sinop + pinc * cosip * cosop
+    nodep_w = jnp.fmod(nodep, TWO_PI)
+    xls = mp + argpp + cosip * nodep_w + pl + pgh - pinc * nodep_w * sinip
+    xnoh = nodep_w
+    nodep_l = jnp.arctan2(alfdp, betdp)
+    # node continuity fix
+    far = jnp.abs(xnoh - nodep_l) > PI
+    nodep_l = jnp.where(far & (nodep_l < xnoh), nodep_l + TWO_PI,
+                        jnp.where(far & (nodep_l >= xnoh),
+                                  nodep_l - TWO_PI, nodep_l))
+    mp_l = mp + pl
+    argpp_l = xls - mp_l - cosip * nodep_l
+
+    lyddane = inclp_new < 0.2
+    argpp_new = jnp.where(lyddane, argpp_l, argpp_n)
+    nodep_new = jnp.where(lyddane, nodep_l, nodep_n)
+    mp_new = jnp.where(lyddane, mp_l, mp_n)
+
+    return (jnp.where(apply_mask, ep_new, ep),
+            jnp.where(apply_mask, inclp_new, inclp),
+            jnp.where(apply_mask, nodep_new, nodep),
+            jnp.where(apply_mask, argpp_new, argpp),
+            jnp.where(apply_mask, mp_new, mp))
+
+
+# ---------------------------------------------------------------------------
+# dspace: secular rates + resonance integration (Sdp4.zig:774-866)
+# ---------------------------------------------------------------------------
+
+
+def _resonance_derivs(deep: DeepElements, els: Sgp4Elements, xli, xni,
+                      atime):
+    """xndt / xldot / xnddt at the current integrator state
+    (reference: computeResonanceAccel, Sdp4.zig:824-866; batch form
+    Sdp4Batch.zig:347-425). GEO and half-day series are both computed
+    and merged by irez — exactly the reference's mask-merge."""
+    # geosynchronous 3-term series
+    xndt_1 = (deep.del1 * jnp.sin(xli - FASX2)
+              + deep.del2 * jnp.sin(2.0 * (xli - FASX4))
+              + deep.del3 * jnp.sin(3.0 * (xli - FASX6)))
+    xnddt_1 = (deep.del1 * jnp.cos(xli - FASX2)
+               + 2.0 * deep.del2 * jnp.cos(2.0 * (xli - FASX4))
+               + 3.0 * deep.del3 * jnp.cos(3.0 * (xli - FASX6)))
+    # half-day 10-term series
+    xomi = els.argpo + els.argpdot * atime
+    x2omi = xomi + xomi
+    x2li = xli + xli
+    xndt_2 = (deep.d2201 * jnp.sin(x2omi + xli - G22)
+              + deep.d2211 * jnp.sin(xli - G22)
+              + deep.d3210 * jnp.sin(xomi + xli - G32)
+              + deep.d3222 * jnp.sin(-xomi + xli - G32)
+              + deep.d4410 * jnp.sin(x2omi + x2li - G44)
+              + deep.d4422 * jnp.sin(x2li - G44)
+              + deep.d5220 * jnp.sin(xomi + xli - G52)
+              + deep.d5232 * jnp.sin(-xomi + xli - G52)
+              + deep.d5421 * jnp.sin(xomi + x2li - G54)
+              + deep.d5433 * jnp.sin(-xomi + x2li - G54))
+    xnddt_2 = (deep.d2201 * jnp.cos(x2omi + xli - G22)
+               + deep.d2211 * jnp.cos(xli - G22)
+               + deep.d3210 * jnp.cos(xomi + xli - G32)
+               + deep.d3222 * jnp.cos(-xomi + xli - G32)
+               + deep.d5220 * jnp.cos(xomi + xli - G52)
+               + deep.d5232 * jnp.cos(-xomi + xli - G52)
+               + 2.0 * (deep.d4410 * jnp.cos(x2omi + x2li - G44)
+                        + deep.d4422 * jnp.cos(x2li - G44)
+                        + deep.d5421 * jnp.cos(xomi + x2li - G54)
+                        + deep.d5433 * jnp.cos(-xomi + x2li - G54)))
+    half_day = deep.irez == 2
+    xndt = jnp.where(half_day, xndt_2, xndt_1)
+    xnddt = jnp.where(half_day, xnddt_2, xnddt_1)
+    xldot = xni + deep.xfact
+    return xndt, xldot, xnddt * xldot
+
+
+def dspace(deep: DeepElements, els: Sgp4Elements, t, tc, em, argpm, inclm,
+           mm, nodem, nm, carry: ResonanceCarry, max_steps: Optional[int] = None):
+    """Deep-space secular update + resonance Euler-Maclaurin integration.
+
+    720-min masked integration loop with per-lane restart when the time
+    direction changes (reference: Sdp4.zig:774-820, batch restart logic
+    Sdp4Batch.zig:241-267). Returns updated mean elements and carry.
+
+    ``max_steps``: optional static bound replacing the ``while_loop``
+    with a ``fori_loop`` (useful under reverse-mode AD).
+    """
+    theta = jnp.fmod(els.gsto + tc * RPTIM, TWO_PI)
+    em = em + deep.dedt * t
+    inclm = inclm + deep.didt * t
+    argpm = argpm + deep.domdt * t
+    nodem = nodem + deep.dnodt * t
+    mm = mm + deep.dmdt * t
+
+    resonant = deep.irez != 0
+
+    # ---- restart rule (Sdp4.zig:787-791) --------------------------------
+    atime, xli, xni = carry
+    restart = ((atime == 0.0) | (t * atime <= 0.0)
+               | (jnp.abs(t) < jnp.abs(atime)))
+    atime = jnp.where(restart, 0.0, atime)
+    xli = jnp.where(restart, deep.xlamo, xli)
+    xni = jnp.where(restart, els.no_unkozai, xni)
+
+    delt = jnp.where(t > 0.0, STEPP, -STEPP)
+
+    def active_fn(atime_):
+        return resonant & (jnp.abs(t - atime_) >= STEPP)
+
+    def body(state):
+        atime_, xli_, xni_ = state
+        xndt, xldot, xnddt = _resonance_derivs(deep, els, xli_, xni_,
+                                               atime_)
+        act = active_fn(atime_)
+        xli_ = jnp.where(act, xli_ + xldot * delt + xndt * STEP2, xli_)
+        xni_ = jnp.where(act, xni_ + xndt * delt + xnddt * STEP2, xni_)
+        atime_ = jnp.where(act, atime_ + delt, atime_)
+        return atime_, xli_, xni_
+
+    if max_steps is None:
+        def cond(state):
+            return jnp.any(active_fn(state[0]))
+
+        atime, xli, xni = jax.lax.while_loop(cond, body, (atime, xli, xni))
+    else:
+        atime, xli, xni = jax.lax.fori_loop(
+            0, max_steps, lambda _, s: body(s), (atime, xli, xni))
+
+    # final derivative evaluation at the converged state
+    xndt, xldot, _ = _resonance_derivs(deep, els, xli, xni, atime)
+    ft = t - atime
+    nm_res = xni + xndt * ft
+    xl = xli + xldot * ft + xndt * ft * ft * 0.5
+    mm_geo = xl - nodem - argpm + theta
+    mm_half = xl - 2.0 * nodem + 2.0 * theta
+    mm = jnp.where(resonant,
+                   jnp.where(deep.irez == 1, mm_geo, mm_half), mm)
+    nm = jnp.where(resonant, nm_res, nm)
+
+    return em, argpm, inclm, mm, nodem, nm, ResonanceCarry(atime, xli, xni)
+
+
+# ---------------------------------------------------------------------------
+# Unified propagate: SGP4 + SDP4 in one branchless kernel
+# ---------------------------------------------------------------------------
+
+
+def sdp4_propagate(els: Sgp4Elements, deep: DeepElements, tsince,
+                   grav: GravityModel,
+                   carry: Optional[ResonanceCarry] = None,
+                   max_steps: Optional[int] = None
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array,
+                              ResonanceCarry]:
+    """Propagate a mixed near-earth/deep-space catalog to ``tsince``.
+
+    The unified kernel: near-earth lanes see zeroed deep coefficients
+    (exact no-ops) and their higher-order drag via the isimp mask; deep
+    lanes get dspace/dpper and per-call recomputation of the
+    inclination-dependent coefficients (reference: Sdp4.zig:940-954,
+    Sdp4Batch.zig:199-343). Broadcasting rules match
+    :func:`astroz_tpu.ops.sgp4.sgp4_propagate`.
+
+    Returns ``(r, v, error, carry)``.
+    """
+    t = jnp.asarray(tsince, els.no_kozai.dtype)
+    if carry is None:
+        shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
+        carry = ResonanceCarry(
+            atime=jnp.zeros(shape, els.no_kozai.dtype),
+            xli=jnp.broadcast_to(deep.xlamo, shape),
+            xni=jnp.broadcast_to(els.no_unkozai, shape),
+        )
+
+    # ---- secular gravity + drag (shared with SGP4) ----------------------
+    from .sgp4 import update_secular
+    mm, argpm, nodem, tempa, tempe, templ = update_secular(els, t)
+
+    nm = els.no_unkozai + jnp.zeros_like(mm)
+    em = els.ecco + jnp.zeros_like(mm)
+    inclm = els.inclo + jnp.zeros_like(mm)
+    error = jnp.broadcast_to(
+        els.error, jnp.broadcast_shapes(els.error.shape, jnp.shape(t))
+    ).astype(jnp.int32)
+
+    # ---- deep-space secular + resonance ---------------------------------
+    em_d, argpm_d, inclm_d, mm_d, nodem_d, nm_d, carry = dspace(
+        deep, els, t, t, em, argpm, inclm, mm, nodem, nm, carry,
+        max_steps=max_steps)
+    is_deep = els.is_deep
+    em = jnp.where(is_deep, em_d, em)
+    argpm = jnp.where(is_deep, argpm_d, argpm)
+    inclm = jnp.where(is_deep, inclm_d, inclm)
+    mm = jnp.where(is_deep, mm_d, mm)
+    nodem = jnp.where(is_deep, nodem_d, nodem)
+    nm = jnp.where(is_deep, nm_d, nm)
+
+    error = jnp.where((nm <= 0.0) & (error == 0), 2, error)
+    nm_safe = jnp.where(nm > 0.0, nm, 1e-8)
+    am = (grav.xke / nm_safe) ** X2O3 * tempa * tempa
+    nm = grav.xke / jnp.where(am > 0.0, am, 1.0) ** 1.5
+    em = em - tempe
+
+    error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), 1,
+                      error)
+    em = jnp.clip(em, 1.0e-6, 0.999999)
+    mm = mm + els.no_unkozai * templ
+    xlm = mm + argpm + nodem
+
+    nodem = jnp.fmod(nodem, TWO_PI)
+    argpm = jnp.fmod(argpm, TWO_PI)
+    xlm = jnp.fmod(xlm, TWO_PI)
+    mm = jnp.fmod(xlm - argpm - nodem, TWO_PI)
+
+    # ---- lunisolar periodics (deep lanes only) ---------------------------
+    ep, xincp, nodep, argpp, mp = dpper(
+        deep, t, em, inclm, nodem, argpm, mm, apply_mask=is_deep)
+    neg_inc = xincp < 0.0
+    nodep = jnp.where(neg_inc, nodep + PI, nodep)
+    argpp = jnp.where(neg_inc, argpp - PI, argpp)
+    xincp = jnp.abs(xincp)
+    error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), 3, error)
+    ep = jnp.clip(ep, 1e-12, 0.999999)
+
+    # ---- per-call recompute of inclination-dependent coefficients -------
+    # (deep lanes only; reference: Sdp4.zig:940-954)
+    sinip = jnp.sin(xincp)
+    cosip = jnp.cos(xincp)
+    aycof_d = -0.5 * grav.j3oj2 * sinip
+    near_180 = jnp.abs(cosip + 1.0) > 1.5e-12
+    xlcof_d = jnp.where(
+        near_180,
+        -0.25 * grav.j3oj2 * sinip * (3.0 + 5.0 * cosip)
+        / jnp.where(near_180, 1.0 + cosip, 1.0),
+        -0.25 * grav.j3oj2 * sinip * (3.0 + 5.0 * cosip) / _TEMP4)
+    cosisq = cosip * cosip
+    con41_d = 3.0 * cosisq - 1.0
+    x1mth2_d = 1.0 - cosisq
+    x7thm1_d = 7.0 * cosisq - 1.0
+
+    aycof = jnp.where(is_deep, aycof_d, els.aycof)
+    xlcof = jnp.where(is_deep, xlcof_d, els.xlcof)
+    con41 = jnp.where(is_deep, con41_d, els.con41)
+    x1mth2 = jnp.where(is_deep, x1mth2_d, els.x1mth2)
+    x7thm1 = jnp.where(is_deep, x7thm1_d, els.x7thm1)
+
+    r, v, error = kepler_and_posvel(
+        grav, am=am, nm=nm, ep=ep, xincp=xincp, nodep=nodep, argpp=argpp,
+        mp=mp, aycof=aycof, xlcof=xlcof, con41=con41, x1mth2=x1mth2,
+        x7thm1=x7thm1, error=error)
+    return r, v, error, carry
+
+
+def sdp4_propagate_scan(els: Sgp4Elements, deep: DeepElements, times,
+                        grav: GravityModel,
+                        carry: Optional[ResonanceCarry] = None):
+    """Propagate over a monotone time grid with a scanned resonance carry.
+
+    ``lax.scan`` over the time axis threads ``ResonanceCarry`` so each
+    step's 720-min integration resumes from the previous epoch — O(n)
+    total work instead of O(n * t/720), the TPU equivalent of the
+    reference's sorted-carry path (satrec.zig:650-686). Times must be
+    sorted ascending (or descending) per the restart rule.
+
+    Returns ``(r, v, error)`` shaped ``(n_times, n_sats, ...)``.
+    """
+    times = jnp.asarray(times, els.no_kozai.dtype)
+    if carry is None:
+        carry = fresh_carry(deep, els.no_unkozai)
+
+    def step(c, t):
+        r, v, err, c = sdp4_propagate(els, deep, t, grav, carry=c)
+        return c, (r, v, err)
+
+    _, (r, v, err) = jax.lax.scan(step, carry, times)
+    return r, v, err
