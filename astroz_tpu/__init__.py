@@ -16,5 +16,10 @@ from . import time  # noqa: E402
 from . import tle  # noqa: E402
 from . import frames  # noqa: E402
 from . import ops  # noqa: E402
+from . import propagation  # noqa: E402
+from .propagation import SatCatalog, build_catalog, propagate  # noqa: E402
 
-__all__ = ["constants", "time", "tle", "frames", "ops", "__version__"]
+__all__ = [
+    "constants", "time", "tle", "frames", "ops", "propagation",
+    "SatCatalog", "build_catalog", "propagate", "__version__",
+]

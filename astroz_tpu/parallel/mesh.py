@@ -1,0 +1,150 @@
+"""Device mesh construction and sharded catalog propagation.
+
+Replaces the reference's thread-pool work decomposition
+(Constellation.zig:337-385: timeMajor = threads over time ranges,
+satelliteMajor = threads over batch ranges) with the XLA/SPMD model:
+
+* the satellite axis is sharded over the ``"sat"`` mesh axis (ICI);
+* the time axis can optionally be sharded over a second ``"time"`` axis;
+* every kernel is elementwise over the (n_times, n_sats) grid, so the
+  compiled program contains **no collectives** — each chip propagates
+  its satellite shard for its time shard, the direct analogue of each
+  thread owning a disjoint output slice (Constellation.zig:337-384).
+
+Padding: the reference pads 8-wide SIMD batches by repeating the last
+satellite (Constellation.zig:146). Here we pad the catalog to a multiple
+of the mesh's sat-axis size the same way and trim the outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import MINUTES_PER_DAY
+from ..propagation import (SatCatalog, _propagate_mixed, _propagate_shallow)
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              sat_parallel: Optional[int] = None,
+              time_parallel: int = 1) -> Mesh:
+    """Build a ``(time, sat)`` mesh over the given (or all) devices.
+
+    By default all devices go to the ``"sat"`` axis — propagation is
+    embarrassingly parallel over satellites, so this is the layout that
+    keeps every collective off the profile. Set ``time_parallel > 1`` to
+    split long time grids too (useful when n_sats is small).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if sat_parallel is None:
+        sat_parallel = n // time_parallel
+    if sat_parallel * time_parallel != n:
+        raise ValueError(
+            f"sat_parallel ({sat_parallel}) x time_parallel "
+            f"({time_parallel}) must equal device count ({n})")
+    dev_array = np.asarray(devices).reshape(time_parallel, sat_parallel)
+    return Mesh(dev_array, axis_names=("time", "sat"))
+
+
+def _pad_count(n: int, multiple: int) -> int:
+    return (-n) % multiple
+
+
+def pad_catalog(cat: SatCatalog, multiple: int
+                ) -> Tuple[SatCatalog, int]:
+    """Pad the catalog to a multiple of ``multiple`` satellites by
+    repeating the last satellite (reference: Constellation.zig:146).
+
+    Returns ``(padded_catalog, n_real)``.
+    """
+    n = len(cat)
+    pad = _pad_count(n, multiple)
+    if pad == 0:
+        return cat, n
+
+    def pad_leaf(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return x
+        reps = jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])
+        return jnp.concatenate([x, reps], axis=0)
+
+    els = jax.tree_util.tree_map(pad_leaf, cat.els)
+    deep = (jax.tree_util.tree_map(pad_leaf, cat.deep)
+            if cat.deep is not None else None)
+    satnum = np.concatenate([cat.satnum,
+                             np.repeat(cat.satnum[-1:], pad)])
+    return SatCatalog(els=els, deep=deep, grav=cat.grav, satnum=satnum,
+                      names=None), n
+
+
+def shard_catalog(cat: SatCatalog, mesh: Mesh) -> Tuple[SatCatalog, int]:
+    """Pad to the sat-axis size and place element pytrees with a
+    ``P("sat")`` sharding so the propagate compiles fully SPMD."""
+    sat_size = mesh.shape["sat"]
+    padded, n_real = pad_catalog(cat, sat_size)
+    sharding = NamedSharding(mesh, P("sat"))
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    els = jax.tree_util.tree_map(place, padded.els)
+    deep = (jax.tree_util.tree_map(place, padded.deep)
+            if padded.deep is not None else None)
+    return SatCatalog(els=els, deep=deep, grav=padded.grav,
+                      satnum=padded.satnum, names=None), n_real
+
+
+def propagate_sharded(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
+                      output: str = "teme", velocities: bool = True):
+    """Dense-grid propagate with the satellite axis sharded over ICI.
+
+    The time axis is sharded too when the mesh has ``time_parallel > 1``
+    (times are padded by repeating the last epoch). Returns
+    ``(r, v, error)`` shaped ``(n_times, n_sats, 3)`` — logically global
+    arrays; each shard lives on its device until gathered.
+    """
+    dt = cat.els.epoch_jd.dtype
+    jd = jnp.atleast_1d(jnp.asarray(jd, dt))
+    if fr is None:
+        fr = jnp.zeros_like(jd)
+    fr = jnp.broadcast_to(jnp.asarray(fr, dt), jd.shape)
+
+    time_size = mesh.shape["time"]
+    n_times = jd.shape[0]
+    tpad = _pad_count(n_times, time_size)
+    if tpad:
+        jd = jnp.concatenate([jd, jnp.broadcast_to(jd[-1:], (tpad,))])
+        fr = jnp.concatenate([fr, jnp.broadcast_to(fr[-1:], (tpad,))])
+
+    scat, n_real = shard_catalog(cat, mesh)
+
+    grid_sh = NamedSharding(mesh, P("time", "sat"))
+    time_sh = NamedSharding(mesh, P("time"))
+    jd = jax.device_put(jd, time_sh)
+    fr = jax.device_put(fr, time_sh)
+
+    tsince = ((jd[:, None] - scat.els.epoch_jd[None, :])
+              + fr[:, None]) * MINUTES_PER_DAY
+    tsince = jax.lax.with_sharding_constraint(tsince, grid_sh)
+    jd_sum = (jd + fr)[:, None]
+
+    if scat.deep is None:
+        r, v, err = _propagate_shallow(scat.els, tsince, jd_sum, scat.grav,
+                                       output, velocities)
+    else:
+        r, v, err = _propagate_mixed(scat.els, scat.deep, tsince, jd_sum,
+                                     scat.grav, output, velocities)
+
+    r = r[:n_times, :n_real]
+    err = err[:n_times, :n_real]
+    if v is not None:
+        v = v[:n_times, :n_real]
+    return r, v, err

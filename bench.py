@@ -1,0 +1,99 @@
+"""Headline benchmark: 13,478-sat catalog x 1,440 one-minute epochs.
+
+Replicates the reference's constellation benchmark scenario
+(README.md:35-45: 303M props/s on 16 CPU threads; grid defined in
+benchmarks/zig_sgp4_bench.zig:30-52) on whatever JAX backend is present.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_PROPS_PER_S = 303e6  # reference: 16-thread AVX-512 CPU
+N_SATS = 13478
+N_TIMES = 1440
+TIME_CHUNK = 96  # time steps per device dispatch (bounds HBM residency)
+
+
+def synthetic_catalog(n: int):
+    """Generate an active-catalog-like element population: ~95% LEO,
+    ~3% GEO, ~2% HEO/GPS — enough deep-space lanes to exercise the
+    unified kernel the way the real catalog does."""
+    from astroz_tpu.constants import TWO_PI, WGS72
+    from astroz_tpu.ops.sgp4 import sgp4_init
+    from astroz_tpu.ops.sdp4 import sdp4_init
+    from astroz_tpu.propagation import SatCatalog
+
+    rng = np.random.default_rng(42)
+    kind = rng.choice(3, size=n, p=[0.95, 0.03, 0.02])
+    # mean motion rad/min: LEO ~15.5 rev/day, GEO ~1.0027, GPS/HEO ~2.0
+    rev_day = np.where(kind == 0, rng.uniform(12.0, 16.0, n),
+                       np.where(kind == 1, rng.normal(1.0027, 1e-4, n),
+                                rng.uniform(1.9, 2.1, n)))
+    no_kozai = rev_day * TWO_PI / 1440.0
+    ecco = np.where(kind == 0, rng.uniform(1e-4, 0.02, n),
+                    np.where(kind == 1, rng.uniform(1e-4, 5e-4, n),
+                             rng.uniform(0.01, 0.74, n)))
+    inclo = np.where(kind == 1, rng.uniform(0.0, 0.1, n),
+                     rng.uniform(0.3, 1.8, n))
+    epoch_jd = np.full(n, 2460310.5)
+
+    els = sgp4_init(
+        WGS72, no_kozai=no_kozai, ecco=ecco, inclo=inclo,
+        nodeo=rng.uniform(0, TWO_PI, n), argpo=rng.uniform(0, TWO_PI, n),
+        mo=rng.uniform(0, TWO_PI, n),
+        bstar=rng.uniform(-1e-4, 1e-3, n), epoch_jd=epoch_jd)
+    deep = sdp4_init(WGS72, els) if bool(np.asarray(els.is_deep).any()) \
+        else None
+    return SatCatalog(els=els, deep=deep, grav=WGS72,
+                      satnum=np.arange(n, dtype=np.int64))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import astroz_tpu  # noqa: F401  (enables x64)
+    from astroz_tpu.propagation import _propagate_mixed, _propagate_shallow
+
+    cat = synthetic_catalog(N_SATS)
+    tsince_all = np.arange(N_TIMES, dtype=np.float64)
+    jd_sum = 2460310.5 + tsince_all / 1440.0
+
+    def run_chunk(t0, t1):
+        ts = jnp.asarray(tsince_all[t0:t1])[:, None]
+        js = jnp.asarray(jd_sum[t0:t1])[:, None]
+        if cat.deep is None:
+            return _propagate_shallow(cat.els, ts, js, cat.grav,
+                                      "teme", True)
+        return _propagate_mixed(cat.els, cat.deep, ts, js, cat.grav,
+                                "teme", True)
+
+    # warmup / compile
+    r, v, e = run_chunk(0, TIME_CHUNK)
+    jax.block_until_ready(r)
+
+    start = time.perf_counter()
+    outs = []
+    for t0 in range(0, N_TIMES, TIME_CHUNK):
+        outs.append(run_chunk(t0, min(t0 + TIME_CHUNK, N_TIMES)))
+    for r, v, e in outs:
+        jax.block_until_ready(r)
+    elapsed = time.perf_counter() - start
+
+    props = N_SATS * N_TIMES
+    props_per_s = props / elapsed
+    print(json.dumps({
+        "metric": "constellation_13478x1440_props_per_s",
+        "value": round(props_per_s, 1),
+        "unit": "props/s",
+        "vs_baseline": round(props_per_s / BASELINE_PROPS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

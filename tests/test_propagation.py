@@ -1,0 +1,131 @@
+"""High-level catalog propagation tests.
+
+Mirrors the reference's constellation invariants: mixed-catalog
+classification (Constellation.zig:766-781), layout equivalence
+(:840-873), ECEF = manual GMST rotation (:930-964), and failure
+zero-fill (:511-528).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from astroz_tpu import build_catalog, propagate
+from astroz_tpu.frames import teme_to_ecef
+from astroz_tpu.time import gstime_scalar
+
+from test_sgp4 import ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2, TRAJ_REF
+from test_sdp4 import GPS_L1, GPS_L2, GEO_L1, GEO_L2, HEO_L1, HEO_L2
+
+MIXED_TEXT = "\n".join([
+    "ISS", TRAJ_L1, TRAJ_L2,
+    "GPS", GPS_L1, GPS_L2,
+    "GEO", GEO_L1, GEO_L2,
+    "HEO", HEO_L1, HEO_L2,
+    "ISS2", ISS_L1, ISS_L2,
+])
+
+
+@pytest.fixture(scope="module")
+def mixed_cat():
+    return build_catalog(MIXED_TEXT)
+
+
+def test_classification(mixed_cat):
+    assert len(mixed_cat) == 5
+    assert mixed_cat.n_deep == 3
+    assert list(mixed_cat.is_deep) == [False, True, True, True, False]
+    assert mixed_cat.names == ("ISS", "GPS", "GEO", "HEO", "ISS2")
+    assert mixed_cat.satnum[0] == 25544
+
+
+def test_mixed_catalog_matches_golden_trajectory(mixed_cat):
+    """The ISS column of a mixed catalog must equal the pure-SGP4 golden
+    trajectory — the unified kernel's near-earth lanes are exact no-ops
+    for the deep-space machinery (fixes the reference's unwired mixed
+    path, __init__.py:513-531)."""
+    epoch = mixed_cat.epochs_jd[0]
+    times_min = np.array([row[0] for row in TRAJ_REF])
+    jd = epoch + times_min / 1440.0
+    r, v, err = propagate(mixed_cat, jd)
+    assert r.shape == (len(times_min), 5, 3)
+    np.testing.assert_array_equal(np.asarray(err[:, 0]), 0)
+    for i, (_, r_ref, v_ref) in enumerate(TRAJ_REF):
+        np.testing.assert_allclose(np.asarray(r[i, 0]), r_ref, atol=0.1)
+        np.testing.assert_allclose(np.asarray(v[i, 0]), v_ref, atol=1e-4)
+
+
+def test_layout_equivalence(mixed_cat):
+    epoch = mixed_cat.epochs_jd[0]
+    jd = epoch + np.array([0.0, 0.25, 0.5])
+    r_tm, v_tm, e_tm = propagate(mixed_cat, jd, layout="time_major")
+    r_sm, v_sm, e_sm = propagate(mixed_cat, jd, layout="sat_major")
+    np.testing.assert_allclose(np.asarray(r_tm),
+                               np.asarray(jnp.swapaxes(r_sm, 0, 1)),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(v_tm),
+                               np.asarray(jnp.swapaxes(v_sm, 0, 1)),
+                               atol=1e-10)
+
+
+def test_ecef_equals_manual_gmst_rotation(mixed_cat):
+    epoch = mixed_cat.epochs_jd[0]
+    jd = np.array([epoch + 0.3])
+    r_teme, _, _ = propagate(mixed_cat, jd, output="teme")
+    r_ecef, _, _ = propagate(mixed_cat, jd, output="ecef")
+    gmst = gstime_scalar(float(jd[0]))
+    manual = teme_to_ecef(r_teme, jnp.asarray(gmst))
+    np.testing.assert_allclose(np.asarray(r_ecef), np.asarray(manual),
+                               atol=1e-9)
+
+
+def test_geodetic_output_is_sane(mixed_cat):
+    epoch = mixed_cat.epochs_jd[0]
+    geo, _, err = propagate(mixed_cat, np.array([epoch]), output="geodetic")
+    lat, lon, alt = (np.asarray(geo[0, :, i]) for i in range(3))
+    assert np.all(np.abs(lat) <= np.pi / 2 + 1e-9)
+    assert np.all(np.abs(lon) <= np.pi + 1e-9)
+    # ISS ~ 400-430 km; GPS ~ 20200 km; GEO ~ 35786 km
+    assert 350 < alt[0] < 500
+    assert 19000 < alt[1] < 21000
+    assert 35000 < alt[2] < 36500
+
+
+def test_scan_times_matches_dense(mixed_cat):
+    """Carry-scan path vs dense restart path (the carry-vs-fresh
+    convergence invariant, Sdp4Batch.zig:603-629)."""
+    epoch = mixed_cat.epochs_jd[0]
+    jd = epoch + np.linspace(0.0, 1.0, 13)
+    r_a, v_a, e_a = propagate(mixed_cat, jd, scan_times=False)
+    r_b, v_b, e_b = propagate(mixed_cat, jd, scan_times=True)
+    np.testing.assert_array_equal(np.asarray(e_a), np.asarray(e_b))
+    np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_b), atol=1e-6)
+
+
+def test_velocities_false(mixed_cat):
+    epoch = mixed_cat.epochs_jd[0]
+    r, v, err = propagate(mixed_cat, np.array([epoch]), velocities=False)
+    assert v is None
+    assert r.shape == (1, 5, 3)
+
+
+def test_pure_sgp4_catalog_has_no_deep():
+    cat = build_catalog("\n".join([ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2]))
+    assert not cat.has_deep
+    epoch = cat.epochs_jd[0]
+    r, v, err = propagate(cat, np.array([epoch, epoch + 0.5]))
+    assert r.shape == (2, 2, 3)
+    assert np.all(np.asarray(err) == 0)
+
+
+def test_decayed_lane_zero_filled():
+    """A satellite driven below the surface reports error 6 and zeros
+    (reference failure policy, Constellation.zig:511-528)."""
+    # huge bstar drag -> decays fast
+    l1 = "1 25544U 98067A   24001.50000000  .00016717  00000-0  99999+2 0  9999"
+    cat = build_catalog("\n".join([l1, TRAJ_L2]))
+    epoch = cat.epochs_jd[0]
+    r, v, err = propagate(cat, np.array([epoch + 30.0]))
+    e = int(np.asarray(err)[0, 0])
+    assert e != 0
+    np.testing.assert_array_equal(np.asarray(r[0, 0]), 0.0)
