@@ -1,0 +1,505 @@
+"""Split-precision unified SGP4/SDP4 propagation — the TPU hot path.
+
+TPU v5e has no native f64 ALU: XLA emulates f64 at ~5-10x the cost of
+f32, and the all-f64 kernel in ``ops.sgp4``/``ops.sdp4`` measures ~10x
+below the f32 ceiling. But all-f32 breaks the <100 m accuracy budget,
+because the secular angles grow linearly with time (mo + mdot*t reaches
+~1e2..1e5 rad, where f32 resolution is 1e-5..1e-2 rad = km-scale error).
+
+This module keeps a thin **f64 spine** — the ~25 flops that accumulate
+time-growing angles and the deep-space resonance integration — reduces
+every angle mod 2pi, then runs the transcendental-heavy tail (drag
+polynomials, lunisolar periodics, Kepler solve, short-period
+corrections, orientation vectors) in f32 with :mod:`fastmath`'s
+polynomial sincos. Two algebraic tricks buy extra accuracy and speed:
+
+* ``u = mm + argpm (+ long-period term)`` is formed **in the f64 spine**
+  before reduction — the f64 path's ``xl - nodep`` cancellation
+  (Sgp4.zig:646-660) is done symbolically, so Kepler's argument never
+  suffers the f32 quantization of a ~4pi sum, and the non-simp ``tempd``
+  term cancels exactly (mm + tempd) + (argpm - tempd).
+* ``su``'s atan2 and the sinsu/cossu, snod/cnod, sini/cosi sincos calls
+  are replaced by the addition theorem on the already-known
+  (sinu, cosu), (sin nodep, cos nodep), (sinip, cosip) with Taylor
+  sincos of the tiny J2 corrections (:func:`fastmath.angle_add`) —
+  the corrections are O(J2/p^2) <= ~2e-3 rad.
+
+Accuracy: ~2-10 m vs the f64 path over 1440 min (test-gated), far inside
+the reference's <100 m budget vs python-sgp4 (README.md:55-57).
+
+Near-earth-only catalogs skip the deep-space stages at trace time;
+mixed catalogs run them densely with zeroed coefficients on near-earth
+lanes, exactly like :func:`ops.sdp4.sdp4_propagate`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import GravityModel, TWO_PI
+from .fastmath import angle_add, sincos
+from .sgp4 import Sgp4Elements, X2O3
+from .sdp4 import (DeepElements, ResonanceCarry, FASX2, FASX4, FASX6, G22,
+                   G32, G44, G52, G54, RPTIM, STEPP, STEP2, ZEL, ZES, ZNL,
+                   ZNS)
+
+F32 = jnp.float32
+PI = 3.14159265358979323846
+
+
+def _f32(x):
+    return jnp.asarray(x, F32)
+
+
+def _wrap_two_pi_f32(x):
+    """Cheap wrap into [0, 2pi) for |x| < ~4pi (post-reduction sums)."""
+    two_pi = _f32(TWO_PI)
+    x = jnp.where(x >= two_pi, x - two_pi, x)
+    x = jnp.where(x >= two_pi, x - two_pi, x)
+    x = jnp.where(x < 0.0, x + two_pi, x)
+    return x
+
+
+def _resonance_derivs_fast(deep: DeepElements, els: Sgp4Elements, xli, xni,
+                           atime):
+    """Resonance acceleration series with f32 polynomial sincos.
+
+    State (xli, xni, atime) stays f64 — only the bounded sine-series
+    evaluation (reference: computeResonanceAccel, Sdp4.zig:824-866)
+    drops to f32: the series terms are perturbation-scale (<=1e-7), so
+    f32 relative error is ~1e-14 absolute, far below the integration
+    tolerance. Arguments are mod-reduced in f64 before the cast.
+    """
+    xli32 = _f32(jnp.remainder(xli, TWO_PI))
+    xomi32 = _f32(jnp.remainder(els.argpo + els.argpdot * atime, TWO_PI))
+    s_li, c_li = sincos(xli32)
+    # double angles exactly from single-angle sincos
+    s_2li = 2.0 * s_li * c_li
+    c_2li = 1.0 - 2.0 * s_li * s_li
+    s_omi, c_omi = sincos(xomi32)
+    s_2omi = 2.0 * s_omi * c_omi
+    c_2omi = 1.0 - 2.0 * s_omi * s_omi
+
+    import math
+
+    def sc_sum(sa, ca, sb, cb):
+        # sin/cos of (a + b)
+        return sa * cb + ca * sb, ca * cb - sa * sb
+
+    def sc_shift(s, c, const):
+        # sin/cos of (x - const), const folded at trace time
+        sk, ck = math.sin(const), math.cos(const)
+        return s * ck - c * sk, c * ck + s * sk
+
+    # geosynchronous 3-term series (irez == 1); sin/cos(3x) via addition
+    s_3li, c_3li = sc_sum(s_2li, c_2li, s_li, c_li)
+    s1, c1 = sc_shift(s_li, c_li, FASX2)
+    s2, c2 = sc_shift(s_2li, c_2li, 2.0 * FASX4)
+    s3, c3 = sc_shift(s_3li, c_3li, 3.0 * FASX6)
+    del1, del2, del3 = _f32(deep.del1), _f32(deep.del2), _f32(deep.del3)
+    xndt_1 = del1 * s1 + del2 * s2 + del3 * s3
+    xnddt_1 = del1 * c1 + 2.0 * del2 * c2 + 3.0 * del3 * c3
+
+    # half-day 10-term series (irez == 2)
+    s_o_l, c_o_l = sc_sum(s_omi, c_omi, s_li, c_li)          # omi + li
+    s_no_l, c_no_l = sc_sum(-s_omi, c_omi, s_li, c_li)       # -omi + li
+    s_2o_l, c_2o_l = sc_sum(s_2omi, c_2omi, s_li, c_li)      # 2omi + li
+    s_2o_2l, c_2o_2l = sc_sum(s_2omi, c_2omi, s_2li, c_2li)  # 2omi + 2li
+    s_o_2l, c_o_2l = sc_sum(s_omi, c_omi, s_2li, c_2li)      # omi + 2li
+    s_no_2l, c_no_2l = sc_sum(-s_omi, c_omi, s_2li, c_2li)   # -omi + 2li
+
+    shifted = sc_shift
+    terms = [
+        (deep.d2201, shifted(s_2o_l, c_2o_l, G22)),
+        (deep.d2211, shifted(s_li, c_li, G22)),
+        (deep.d3210, shifted(s_o_l, c_o_l, G32)),
+        (deep.d3222, shifted(s_no_l, c_no_l, G32)),
+        (deep.d4410, shifted(s_2o_2l, c_2o_2l, G44)),
+        (deep.d4422, shifted(s_2li, c_2li, G44)),
+        (deep.d5220, shifted(s_o_l, c_o_l, G52)),
+        (deep.d5232, shifted(s_no_l, c_no_l, G52)),
+        (deep.d5421, shifted(s_o_2l, c_o_2l, G54)),
+        (deep.d5433, shifted(s_no_2l, c_no_2l, G54)),
+    ]
+    xndt_2 = sum(_f32(d) * s for d, (s, _) in terms)
+    xnddt_2 = sum(_f32(d) * c * (2.0 if i in (4, 5, 8, 9) else 1.0)
+                  for i, (d, (_, c)) in enumerate(terms))
+
+    half_day = deep.irez == 2
+    xndt = jnp.where(half_day, xndt_2, xndt_1).astype(xli.dtype)
+    xnddt = jnp.where(half_day, xnddt_2, xnddt_1).astype(xli.dtype)
+    xldot = xni + deep.xfact
+    return xndt, xldot, xnddt * xldot
+
+
+def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
+    """f32 equinoctial Kepler: masked Newton with polynomial sincos.
+
+    Same scheme as ops.sgp4.solve_kepler (reference Sgp4.zig:687-694)
+    but each iteration's sin+cos costs ~13 flops instead of two full
+    XLA transcendental expansions. ``iters=8`` converges below f32
+    resolution for e <= 0.9 (see tests/test_fast.py stress grid).
+    """
+    eo1 = u
+    done = jnp.zeros(jnp.shape(u), bool)
+    sineo1, coseo1 = sincos(eo1)
+    for _ in range(iters):
+        denom = 1.0 - coseo1 * axnl - sineo1 * aynl
+        tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / denom
+        tem5 = jnp.clip(tem5, -0.95, 0.95)
+        eo1 = jnp.where(done, eo1, eo1 + tem5)
+        done = done | (jnp.abs(tem5) < 1.0e-7)
+        sineo1, coseo1 = sincos(eo1)
+    return eo1, sineo1, coseo1
+
+
+def _dpper_fast(deep: DeepElements, t32, ep, inclp, sin_node, cos_node,
+                nodep, mp, argpp, u_sum, apply_mask):
+    """f32 lunisolar periodics (reference: Sdp4.zig:681-759).
+
+    Returns the perturbed (ep, inclp, nodep, sin/cos node, argpp) plus
+    the corrected Kepler argument ``u_sum + d(mp + argpp)`` — the du is
+    applied to the exactly-reduced f64 base so Kepler's argument never
+    re-accumulates f32 rounding. Lyddane path handled via the same
+    dense select as ops.sdp4.dpper.
+    """
+    # solar then lunar terms
+    zm = _f32(deep.zmos) + _f32(ZNS) * t32
+    szm, _ = sincos(zm)
+    zf = zm + 2.0 * _f32(ZES) * szm
+    sinzf, coszf = sincos(zf)
+    f2 = 0.5 * sinzf * sinzf - 0.25
+    f3 = -0.5 * sinzf * coszf
+    ses = _f32(deep.se2) * f2 + _f32(deep.se3) * f3
+    sis = _f32(deep.si2) * f2 + _f32(deep.si3) * f3
+    sls = _f32(deep.sl2) * f2 + _f32(deep.sl3) * f3 + _f32(deep.sl4) * sinzf
+    sghs = (_f32(deep.sgh2) * f2 + _f32(deep.sgh3) * f3
+            + _f32(deep.sgh4) * sinzf)
+    shs = _f32(deep.sh2) * f2 + _f32(deep.sh3) * f3
+
+    zm = _f32(deep.zmol) + _f32(ZNL) * t32
+    szm, _ = sincos(zm)
+    zf = zm + 2.0 * _f32(ZEL) * szm
+    sinzf, coszf = sincos(zf)
+    f2 = 0.5 * sinzf * sinzf - 0.25
+    f3 = -0.5 * sinzf * coszf
+    sel = _f32(deep.ee2) * f2 + _f32(deep.e3) * f3
+    sil = _f32(deep.xi2) * f2 + _f32(deep.xi3) * f3
+    sll = _f32(deep.xl2) * f2 + _f32(deep.xl3) * f3 + _f32(deep.xl4) * sinzf
+    sghl = (_f32(deep.xgh2) * f2 + _f32(deep.xgh3) * f3
+            + _f32(deep.xgh4) * sinzf)
+    shll = _f32(deep.xh2) * f2 + _f32(deep.xh3) * f3
+
+    pe = ses + sel
+    pinc = sis + sil
+    pl = sls + sll
+    pgh = sghs + sghl
+    ph = shs + shll
+
+    inclp_new = inclp + pinc
+    ep_new = ep + pe
+    sinip, cosip = sincos(inclp_new)
+
+    # normal path (inclination >= 0.2)
+    sin_safe = jnp.where(jnp.abs(sinip) > 1e-12, sinip, 1e-12)
+    ph_n = ph / sin_safe
+    pgh_n = pgh - cosip * ph_n
+    argpp_n = argpp + pgh_n
+    du_n = pl + pgh_n                        # d(mp + argpp)
+    nodep_n = nodep + ph_n
+    sin_node_n, cos_node_n = angle_add(sin_node, cos_node, ph_n)
+
+    # Lyddane path (inclination < 0.2)
+    alfdp = sinip * sin_node + ph * cos_node + pinc * cosip * sin_node
+    betdp = sinip * cos_node - ph * sin_node + pinc * cosip * cos_node
+    nodep_l = jnp.arctan2(alfdp, betdp)
+    far = jnp.abs(nodep - nodep_l) > _f32(PI)
+    nodep_l = jnp.where(far & (nodep_l < nodep), nodep_l + _f32(TWO_PI),
+                        jnp.where(far & (nodep_l >= nodep),
+                                  nodep_l - _f32(TWO_PI), nodep_l))
+    xls = (mp + argpp + cosip * nodep + pl + pgh
+           - pinc * nodep * sinip)
+    mp_l = mp + pl
+    argpp_l = xls - mp_l - cosip * nodep_l
+    # mp_l + argpp_l - (mp + argpp), algebraically:
+    du_l = pl + pgh + cosip * (nodep - nodep_l) - pinc * nodep * sinip
+    sin_node_l, cos_node_l = sincos(nodep_l)
+
+    lyddane = inclp_new < 0.2
+    du = jnp.where(lyddane, du_l, du_n)
+    argpp_new = jnp.where(lyddane, argpp_l, argpp_n)
+    nodep_new = jnp.where(lyddane, nodep_l, nodep_n)
+    sn = jnp.where(lyddane, sin_node_l, sin_node_n)
+    cn = jnp.where(lyddane, cos_node_l, cos_node_n)
+
+    ok = apply_mask
+    return (jnp.where(ok, ep_new, ep),
+            jnp.where(ok, inclp_new, inclp),
+            jnp.where(ok, nodep_new, nodep),
+            jnp.where(ok, sn, sin_node),
+            jnp.where(ok, cn, cos_node),
+            jnp.where(ok, argpp_new, argpp),
+            jnp.where(ok, u_sum + du, u_sum))
+
+
+def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
+                   grav: GravityModel,
+                   carry: Optional[ResonanceCarry] = None,
+                   kepler_iters: int = 8,
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Unified mixed-catalog propagate, split-precision.
+
+    ``tsince`` (f64, minutes) broadcasts against the element arrays.
+    Returns ``(r, v, error)`` in f32 TEME km / km/s with int32
+    python-sgp4 error codes. Numerics match the f64 reference path to
+    ~10 m over +-1440 min (test-gated).
+    """
+    f64 = els.no_kozai.dtype
+    t = jnp.asarray(tsince, f64)
+    two_pi = TWO_PI
+
+    # =====================================================================
+    # f64 spine: time-growing angle accumulation (~25 flops)
+    # =====================================================================
+    xmdf = els.mo + els.mdot * t
+    argpdf = els.argpo + els.argpdot * t
+    t2 = t * t
+    nodem64 = els.nodeo + els.nodedot * t + els.nodecf * t2
+    # gravity-resonance / lunisolar secular contributions (deep only)
+    if deep is not None:
+        xmdf = xmdf + deep.dmdt * t
+        argpdf = argpdf + deep.domdt * t
+        nodem64 = nodem64 + deep.dnodt * t
+    templ_big = els.no_unkozai * t2 * (
+        els.t2cof + t * (els.t3cof + t * (els.t4cof + t * els.t5cof)))
+
+    is_deep = els.is_deep
+    nm_res64 = els.no_unkozai + jnp.zeros_like(xmdf)
+    mm_spine = xmdf
+    if deep is not None:
+        # resonance integration (Euler-Maclaurin, 720-min steps) — f64,
+        # identical machinery to ops.sdp4.dspace
+        if carry is None:
+            shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
+            carry = ResonanceCarry(
+                atime=jnp.zeros(shape, f64),
+                xli=jnp.broadcast_to(deep.xlamo, shape),
+                xni=jnp.broadcast_to(els.no_unkozai, shape))
+        resonant = deep.irez != 0
+        atime, xli, xni = carry
+        restart = ((atime == 0.0) | (t * atime <= 0.0)
+                   | (jnp.abs(t) < jnp.abs(atime)))
+        atime = jnp.where(restart, 0.0, atime)
+        xli = jnp.where(restart, deep.xlamo, xli)
+        xni = jnp.where(restart, els.no_unkozai, xni)
+        delt = jnp.where(t > 0.0, STEPP, -STEPP)
+
+        def active_fn(atime_):
+            return resonant & (jnp.abs(t - atime_) >= STEPP)
+
+        def body(state):
+            atime_, xli_, xni_ = state
+            xndt, xldot, xnddt = _resonance_derivs_fast(
+                deep, els, xli_, xni_, atime_)
+            act = active_fn(atime_)
+            xli_ = jnp.where(act, xli_ + xldot * delt + xndt * STEP2, xli_)
+            xni_ = jnp.where(act, xni_ + xndt * delt + xnddt * STEP2, xni_)
+            atime_ = jnp.where(act, atime_ + delt, atime_)
+            return atime_, xli_, xni_
+
+        atime, xli, xni = jax.lax.while_loop(
+            lambda s: jnp.any(active_fn(s[0])), body, (atime, xli, xni))
+        xndt, xldot, _ = _resonance_derivs_fast(deep, els, xli, xni,
+                                                 atime)
+        ft = t - atime
+        nm_res = xni + xndt * ft
+        xl = xli + xldot * ft + xndt * ft * ft * 0.5
+        theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
+        mm_geo = xl - nodem64 - argpdf + theta
+        mm_half = xl - 2.0 * nodem64 + 2.0 * theta
+        mm_res = jnp.where(deep.irez == 1, mm_geo, mm_half)
+        mm_spine = jnp.where(resonant, mm_res, xmdf)
+        nm_res64 = jnp.where(resonant, nm_res, nm_res64)
+
+    mm_spine = mm_spine + templ_big
+    # Kepler argument base: (mm + argpm) reduced in f64 — the xl - nodep
+    # cancellation done symbolically (see module doc). The drag tempd
+    # term cancels too: (mm + tempd) + (argpm - tempd) = mm + argpm.
+    u_base = jnp.remainder(mm_spine + argpdf, two_pi)
+    mm_red = jnp.remainder(mm_spine, two_pi)
+    argp_red = jnp.remainder(argpdf, two_pi)
+    node_red = jnp.remainder(nodem64, two_pi)
+
+    # =====================================================================
+    # f32 tail
+    # =====================================================================
+    t32 = _f32(t)
+    u_base = _f32(u_base)
+    mm = _f32(mm_red)
+    argp32 = _f32(argp_red)
+    nodem = _f32(node_red)
+    xmdf32 = _f32(jnp.remainder(xmdf, two_pi))
+    nm_deep = _f32(nm_res64)
+
+    ecco = _f32(els.ecco)
+    inclo = _f32(els.inclo)
+    bstar = _f32(els.bstar)
+    error = jnp.zeros(jnp.shape(u_base), jnp.int32) + els.error
+
+    # ---- drag (reference: updateSecular, Sgp4.zig:435-477) --------------
+    cos_xmdf, _unused = sincos(xmdf32)
+    delomg = _f32(els.omgcof) * t32
+    delmtemp = 1.0 + _f32(els.eta) * cos_xmdf
+    delm = _f32(els.xmcof) * (delmtemp * delmtemp * delmtemp
+                              - _f32(els.delmo))
+    tempd = delomg + delm
+    not_simp = ~els.isimp
+    # tempd cancels in u = mm + argpm; it only shifts mm (used by cc5 sin)
+    mm_drag = jnp.where(not_simp, mm + tempd, mm)
+
+    t2_32 = t32 * t32
+    tempa = (1.0 - _f32(els.cc1) * t32 - _f32(els.d2) * t2_32
+             - _f32(els.d3) * t2_32 * t32 - _f32(els.d4) * t2_32 * t2_32)
+    sin_mm, _unused = sincos(mm_drag)
+    tempe = bstar * _f32(els.cc4) * t32
+    tempe = tempe + jnp.where(
+        not_simp, bstar * _f32(els.cc5) * (sin_mm - _f32(els.sinmao)), 0.0)
+
+    # ---- semi-major axis / mean motion ----------------------------------
+    xke32 = _f32(grav.xke)
+    if deep is not None:
+        # deep lanes: nm from resonance; am = (xke/nm)^(2/3) * tempa^2
+        from .fastmath import pow23
+        bad_nm = nm_deep <= 0.0
+        error = jnp.where(bad_nm & is_deep & (error == 0), 2, error)
+        a_base = jnp.where(is_deep,
+                           pow23(xke32 / jnp.where(bad_nm, 1e-8, nm_deep)),
+                           _f32(els.a))
+    else:
+        a_base = _f32(els.a)
+    am = a_base * tempa * tempa
+    am_safe = jnp.where(am > 0.0, am, 1.0)
+    nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
+
+    em = ecco - tempe
+    if deep is not None:
+        em = em + _f32(deep.dedt) * t32
+        inclm = inclo + _f32(deep.didt) * t32
+    else:
+        inclm = inclo + jnp.zeros_like(em)
+    error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), 1,
+                      error)
+    em = jnp.clip(em, 1.0e-6, 0.999999)
+
+    # ---- lunisolar periodics + node (deep lanes) -------------------------
+    nodem = jnp.broadcast_to(nodem, jnp.shape(u_base))
+    sin_node, cos_node = sincos(nodem)
+    u = u_base
+    ep, xincp = em, inclm
+    # true argument of perigee (for axnl/aynl); tempd shifts it on
+    # non-simp near-earth lanes (argpm = argpdf - tempd)
+    argpp = jnp.where(not_simp, argp32 - tempd, argp32) \
+        + jnp.zeros_like(u_base)
+    if deep is not None:
+        ep, xincp, nodem, sin_node, cos_node, argpp, u = _dpper_fast(
+            deep, t32, em, inclm, sin_node, cos_node, nodem, mm, argpp,
+            u_base, apply_mask=is_deep)
+        neg_inc = xincp < 0.0
+        xincp = jnp.abs(xincp)
+        # node + pi when inclination flipped; argp - pi (cancels in u)
+        sin_node = jnp.where(neg_inc, -sin_node, sin_node)
+        cos_node = jnp.where(neg_inc, -cos_node, cos_node)
+        argpp = jnp.where(neg_inc, argpp - _f32(PI), argpp)
+        error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), 3,
+                          error)
+        ep = jnp.clip(ep, 1e-12, 0.999999)
+
+    # ---- inclination-dependent coefficients ------------------------------
+    sinip, cosip = sincos(xincp)
+    j3oj2 = _f32(grav.j3oj2)
+    if deep is not None:
+        aycof_d = -0.5 * j3oj2 * sinip
+        near180 = jnp.abs(cosip + 1.0) > 1.5e-12
+        denom = jnp.where(near180, 1.0 + cosip, 1.5e-12)
+        xlcof_d = -0.25 * j3oj2 * sinip * (3.0 + 5.0 * cosip) / denom
+        cosisq = cosip * cosip
+        aycof = jnp.where(is_deep, aycof_d, _f32(els.aycof))
+        xlcof = jnp.where(is_deep, xlcof_d, _f32(els.xlcof))
+        con41 = jnp.where(is_deep, 3.0 * cosisq - 1.0, _f32(els.con41))
+        x1mth2 = jnp.where(is_deep, 1.0 - cosisq, _f32(els.x1mth2))
+        x7thm1 = jnp.where(is_deep, 7.0 * cosisq - 1.0, _f32(els.x7thm1))
+    else:
+        aycof, xlcof = _f32(els.aycof), _f32(els.xlcof)
+        con41, x1mth2, x7thm1 = (_f32(els.con41), _f32(els.x1mth2),
+                                 _f32(els.x7thm1))
+
+    # ---- long-period terms + Kepler (Sgp4.zig:646-750) -------------------
+    sin_argpp, cos_argpp = sincos(argpp)
+
+    axnl = ep * cos_argpp
+    temp_lp = 1.0 / (am_safe * (1.0 - ep * ep))
+    aynl = ep * sin_argpp + temp_lp * aycof
+    u_kep = _wrap_two_pi_f32(u + temp_lp * xlcof * axnl)
+
+    eo1, sineo1, coseo1 = solve_kepler_fast(u_kep, axnl, aynl,
+                                            iters=kepler_iters)
+
+    # ---- short-period corrections + position/velocity --------------------
+    ecose = axnl * coseo1 + aynl * sineo1
+    esine = axnl * sineo1 - aynl * coseo1
+    el2 = axnl * axnl + aynl * aynl
+    pl = am * (1.0 - el2)
+    error = jnp.where((pl < 0.0) & (error == 0), 4, error)
+    pl_safe = jnp.where(pl > 0.0, pl, 1.0)
+
+    rl = am * (1.0 - ecose)
+    rdotl = jnp.sqrt(am_safe) * esine / rl
+    rvdotl = jnp.sqrt(pl_safe) / rl
+    betal = jnp.sqrt(jnp.abs(1.0 - el2))
+    temp_b = esine / (1.0 + betal)
+    sinu = am / rl * (sineo1 - aynl - axnl * temp_b)
+    cosu = am / rl * (coseo1 - axnl + aynl * temp_b)
+    sin2u = (cosu + cosu) * sinu
+    cos2u = 1.0 - 2.0 * sinu * sinu
+    temp_p = 1.0 / pl_safe
+    temp1 = 0.5 * _f32(grav.j2) * temp_p
+    temp2 = temp1 * temp_p
+
+    mrt = (rl * (1.0 - 1.5 * temp2 * betal * con41)
+           + 0.5 * temp1 * x1mth2 * cos2u)
+    # su correction via addition theorem (no atan2, no sincos)
+    sinsu, cossu = angle_add(sinu, cosu, -0.25 * temp2 * x7thm1 * sin2u)
+    # node / inclination corrections likewise
+    snod, cnod = angle_add(sin_node, cos_node,
+                           1.5 * temp2 * cosip * sin2u)
+    sini, cosi = angle_add(sinip, cosip,
+                           1.5 * temp2 * cosip * sinip * cos2u)
+    mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
+    rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
+
+    xmx = -snod * cosi
+    xmy = cnod * cosi
+    ux = xmx * sinsu + cnod * cossu
+    uy = xmy * sinsu + snod * cossu
+    uz = sini * sinsu
+    vx = xmx * cossu - cnod * sinsu
+    vy = xmy * cossu - snod * sinsu
+    vz = sini * cossu
+
+    re = _f32(grav.radius_earth_km)
+    vkmpersec = _f32(grav.radius_earth_km * grav.xke / 60.0)
+    mrt_re = mrt * re
+    r = jnp.stack([mrt_re * ux, mrt_re * uy, mrt_re * uz], axis=-1)
+    v = jnp.stack(
+        [vkmpersec * (mvt * ux + rvdot * vx),
+         vkmpersec * (mvt * uy + rvdot * vy),
+         vkmpersec * (mvt * uz + rvdot * vz)], axis=-1)
+
+    error = jnp.where((mrt < 1.0) & (error == 0), 6, error)
+    ok = (error == 0)[..., None]
+    r = jnp.where(ok, r, 0.0)
+    v = jnp.where(ok, v, 0.0)
+    return r, v, error

@@ -37,6 +37,7 @@ from .constants import WGS72, GravityModel, MINUTES_PER_DAY
 from .frames import ecef_to_geodetic, teme_to_ecef
 from .time import gstime
 from .tle import Tle, TleArrays, iter_tles, parse_omm
+from .ops.fast import propagate_fast
 from .ops.sgp4 import Sgp4Elements, sgp4_init, sgp4_propagate
 from .ops.sdp4 import (DeepElements, ResonanceCarry, fresh_carry, sdp4_init,
                        sdp4_propagate)
@@ -62,6 +63,14 @@ class SatCatalog:
     grav: GravityModel
     satnum: np.ndarray  # int64 host array
     names: Optional[Tuple[Optional[str], ...]] = None
+    # static deep-lane partition for the fast path: the deep-space
+    # machinery (resonance loop, lunisolar periodics) runs only on the
+    # deep subset, then scatters back — the TPU-shaped version of the
+    # reference's SGP4/SDP4 batch split (Constellation.zig:115-184),
+    # except the subsets stay dense unpadded arrays.
+    deep_idx: Optional[np.ndarray] = None
+    els_deep: Optional[Sgp4Elements] = None
+    deep_sub: Optional[DeepElements] = None
 
     def __len__(self) -> int:
         return int(self.els.no_kozai.shape[0])
@@ -125,10 +134,34 @@ def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
         no_kozai=arrays.no_kozai, ecco=arrays.ecco, inclo=arrays.inclo,
         nodeo=arrays.nodeo, argpo=arrays.argpo, mo=arrays.mo,
         bstar=arrays.bstar, epoch_jd=arrays.epoch_jd)
+    return catalog_from_elements(els, grav, np.asarray(arrays.satnum),
+                                 names=names)
+
+
+def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
+                          satnum: Optional[np.ndarray] = None,
+                          names: Optional[Tuple[Optional[str], ...]] = None
+                          ) -> SatCatalog:
+    """Finish catalog construction from initialized SGP4 elements:
+    deep-space init + static deep-lane partition for the fast path."""
     any_deep = bool(np.asarray(els.is_deep).any())
     deep = sdp4_init(grav, els) if any_deep else None
-    return SatCatalog(els=els, deep=deep, grav=grav,
-                      satnum=np.asarray(arrays.satnum), names=names)
+    if satnum is None:
+        satnum = np.arange(len(np.asarray(els.no_kozai)), dtype=np.int64)
+
+    deep_idx = els_deep = deep_sub = None
+    if any_deep:
+        deep_idx = np.nonzero(np.asarray(els.is_deep))[0]
+        idx = jnp.asarray(deep_idx)
+
+        def take(x):
+            return x[idx] if getattr(x, "ndim", 0) else x
+
+        els_deep = jax.tree_util.tree_map(take, els)
+        deep_sub = jax.tree_util.tree_map(take, deep)
+    return SatCatalog(els=els, deep=deep, grav=grav, satnum=satnum,
+                      names=names, deep_idx=deep_idx, els_deep=els_deep,
+                      deep_sub=deep_sub)
 
 
 # ---------------------------------------------------------------------------
@@ -137,9 +170,13 @@ def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
 
 
 def _finalize(r, v, err, jd_sum, output: str, want_vel: bool):
-    """Fused frame conversion + zero-fill of failed lanes."""
+    """Fused frame conversion + zero-fill of failed lanes.
+
+    GMST is always computed in f64 (JD magnitude ~2.45e6 makes f32
+    useless there), then reduced and cast to the kernel dtype.
+    """
     if output != "teme":
-        gmst = gstime(jd_sum)
+        gmst = gstime(jd_sum).astype(r.dtype)
         while gmst.ndim < r.ndim - 1:
             gmst = gmst[..., None]
         r = teme_to_ecef(r, gmst)
@@ -161,6 +198,29 @@ def _propagate_shallow(els: Sgp4Elements, tsince, jd_sum, grav: GravityModel,
 def _propagate_mixed(els: Sgp4Elements, deep: DeepElements, tsince, jd_sum,
                      grav: GravityModel, output: str, want_vel: bool):
     r, v, err, _ = sdp4_propagate(els, deep, tsince, grav)
+    return _finalize(r, v, err, jd_sum, output, want_vel)
+
+
+@partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
+def _propagate_fast_shallow(els: Sgp4Elements, tsince, jd_sum,
+                            grav: GravityModel, output: str, want_vel: bool):
+    r, v, err = propagate_fast(els, None, tsince, grav)
+    return _finalize(r, v, err, jd_sum, output, want_vel)
+
+
+@partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
+def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
+                                deep_sub: DeepElements, deep_idx, tsince,
+                                tsince_deep, jd_sum, grav: GravityModel,
+                                output: str, want_vel: bool):
+    """Fast path for mixed catalogs: shallow kernel over all satellites,
+    the deep-space kernel only over the (static) deep subset, scattered
+    back into the full grid."""
+    r, v, err = propagate_fast(els, None, tsince, grav)
+    r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep, grav)
+    r = r.at[:, deep_idx, :].set(r_d)
+    v = v.at[:, deep_idx, :].set(v_d)
+    err = err.at[:, deep_idx].set(err_d)
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
@@ -188,7 +248,7 @@ def _propagate_mixed_scan(els: Sgp4Elements, deep: DeepElements, tsince,
 
 def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
               velocities: bool = True, layout: str = "time_major",
-              scan_times: bool = False):
+              scan_times: bool = False, method: str = "f64"):
     """Propagate every satellite to every epoch.
 
     Args:
@@ -203,7 +263,12 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         -> (n_sats, n_times, 3) (reference: Constellation.zig Layout).
       scan_times: thread the SDP4 resonance carry along a sorted time
         axis via ``lax.scan`` (use for long monotone grids with many
-        deep-space satellites).
+        deep-space satellites; ``method="f64"`` only).
+      method: ``"f64"`` for full double precision (bit-parity with the
+        published algorithm; slow on TPU where f64 is emulated) or
+        ``"fast"`` for the split-precision kernel (f64 angle spine +
+        f32 tail, ~25 m worst case vs f64 over +-1440 min, ~15x faster
+        on TPU; outputs are f32). See :mod:`astroz_tpu.ops.fast`.
 
     Returns:
       ``(r, v, error)``; ``v`` is None when ``velocities=False``;
@@ -227,7 +292,17 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
               + fr[:, None]) * MINUTES_PER_DAY
     jd_sum = (jd + fr)[:, None]
 
-    if not cat.has_deep:
+    if method == "fast":
+        if not cat.has_deep:
+            r, v, err = _propagate_fast_shallow(
+                cat.els, tsince, jd_sum, cat.grav, output, velocities)
+        else:
+            tsince_deep = tsince[:, cat.deep_idx]
+            r, v, err = _propagate_fast_partitioned(
+                cat.els, cat.els_deep, cat.deep_sub,
+                jnp.asarray(cat.deep_idx), tsince, tsince_deep, jd_sum,
+                cat.grav, output, velocities)
+    elif not cat.has_deep:
         r, v, err = _propagate_shallow(cat.els, tsince, jd_sum, cat.grav,
                                        output, velocities)
     elif scan_times:

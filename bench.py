@@ -16,7 +16,7 @@ import numpy as np
 BASELINE_PROPS_PER_S = 303e6  # reference: 16-thread AVX-512 CPU
 N_SATS = 13478
 N_TIMES = 1440
-TIME_CHUNK = 96  # time steps per device dispatch (bounds HBM residency)
+TIME_CHUNK = 480  # time steps per device dispatch (bounds HBM residency)
 
 
 def synthetic_catalog(n: int):
@@ -25,8 +25,7 @@ def synthetic_catalog(n: int):
     unified kernel the way the real catalog does."""
     from astroz_tpu.constants import TWO_PI, WGS72
     from astroz_tpu.ops.sgp4 import sgp4_init
-    from astroz_tpu.ops.sdp4 import sdp4_init
-    from astroz_tpu.propagation import SatCatalog
+    from astroz_tpu.propagation import catalog_from_elements
 
     rng = np.random.default_rng(42)
     kind = rng.choice(3, size=n, p=[0.95, 0.03, 0.02])
@@ -47,10 +46,7 @@ def synthetic_catalog(n: int):
         nodeo=rng.uniform(0, TWO_PI, n), argpo=rng.uniform(0, TWO_PI, n),
         mo=rng.uniform(0, TWO_PI, n),
         bstar=rng.uniform(-1e-4, 1e-3, n), epoch_jd=epoch_jd)
-    deep = sdp4_init(WGS72, els) if bool(np.asarray(els.is_deep).any()) \
-        else None
-    return SatCatalog(els=els, deep=deep, grav=WGS72,
-                      satnum=np.arange(n, dtype=np.int64))
+    return catalog_from_elements(els, WGS72)
 
 
 def main():
@@ -58,32 +54,38 @@ def main():
     import jax.numpy as jnp
 
     import astroz_tpu  # noqa: F401  (enables x64)
-    from astroz_tpu.propagation import _propagate_mixed, _propagate_shallow
+    from astroz_tpu.propagation import (_propagate_fast_partitioned,
+                                        _propagate_fast_shallow)
 
     cat = synthetic_catalog(N_SATS)
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
+    deep_idx = jnp.asarray(cat.deep_idx) if cat.deep is not None else None
 
     def run_chunk(t0, t1):
         ts = jnp.asarray(tsince_all[t0:t1])[:, None]
         js = jnp.asarray(jd_sum[t0:t1])[:, None]
         if cat.deep is None:
-            return _propagate_shallow(cat.els, ts, js, cat.grav,
-                                      "teme", True)
-        return _propagate_mixed(cat.els, cat.deep, ts, js, cat.grav,
-                                "teme", True)
+            return _propagate_fast_shallow(cat.els, ts, js, cat.grav,
+                                           "teme", True)
+        return _propagate_fast_partitioned(
+            cat.els, cat.els_deep, cat.deep_sub, deep_idx, ts,
+            ts, js, cat.grav, "teme", True)
 
-    # warmup / compile
-    r, v, e = run_chunk(0, TIME_CHUNK)
-    jax.block_until_ready(r)
+    def sweep():
+        outs = []
+        for t0 in range(0, N_TIMES, TIME_CHUNK):
+            outs.append(run_chunk(t0, min(t0 + TIME_CHUNK, N_TIMES)))
+        for r, v, e in outs:
+            jax.block_until_ready(r)
+        return outs
 
+    sweep()  # warmup / compile
+    n_rep = 3
     start = time.perf_counter()
-    outs = []
-    for t0 in range(0, N_TIMES, TIME_CHUNK):
-        outs.append(run_chunk(t0, min(t0 + TIME_CHUNK, N_TIMES)))
-    for r, v, e in outs:
-        jax.block_until_ready(r)
-    elapsed = time.perf_counter() - start
+    for _ in range(n_rep):
+        sweep()
+    elapsed = (time.perf_counter() - start) / n_rep
 
     props = N_SATS * N_TIMES
     props_per_s = props / elapsed

@@ -129,3 +129,42 @@ def test_decayed_lane_zero_filled():
     e = int(np.asarray(err)[0, 0])
     assert e != 0
     np.testing.assert_array_equal(np.asarray(r[0, 0]), 0.0)
+
+
+def test_fast_method_matches_f64(mixed_cat):
+    """propagate(method='fast') partitioned path vs f64 unified path."""
+    epoch = mixed_cat.epochs_jd[0]
+    jd = epoch + np.linspace(0.0, 1.0, 9)
+    r64, v64, e64 = propagate(mixed_cat, jd)
+    r32, v32, e32 = propagate(mixed_cat, jd, method="fast")
+    assert r32.dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(e64), np.asarray(e32))
+    dr = np.linalg.norm(np.asarray(r64) - np.asarray(r32, np.float64),
+                        axis=-1)
+    assert dr.max() < 0.05, f"{dr.max()*1e3:.1f} m"
+
+
+def test_fast_method_ecef_geodetic(mixed_cat):
+    epoch = mixed_cat.epochs_jd[0]
+    jd = np.array([epoch + 0.3])
+    r64, _, _ = propagate(mixed_cat, jd, output="ecef")
+    r32, _, _ = propagate(mixed_cat, jd, output="ecef", method="fast")
+    dr = np.linalg.norm(np.asarray(r64) - np.asarray(r32, np.float64),
+                        axis=-1)
+    assert dr.max() < 0.05
+    g64, _, _ = propagate(mixed_cat, jd, output="geodetic")
+    g32, _, _ = propagate(mixed_cat, jd, output="geodetic", method="fast")
+    # altitude column in km
+    assert np.abs(np.asarray(g64[..., 2])
+                  - np.asarray(g32[..., 2], np.float64)).max() < 0.06
+
+
+def test_fast_method_pure_leo():
+    cat = build_catalog("\n".join([ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2]))
+    epoch = cat.epochs_jd[0]
+    jd = epoch + np.linspace(0.0, 1.0, 5)
+    r64, _, e64 = propagate(cat, jd)
+    r32, _, e32 = propagate(cat, jd, method="fast")
+    dr = np.linalg.norm(np.asarray(r64) - np.asarray(r32, np.float64),
+                        axis=-1)
+    assert dr.max() < 0.02
