@@ -1,0 +1,267 @@
+"""python-sgp4 drop-in compatible API.
+
+Rebuild of the reference's ``bindings/python/astroz/api.py`` (Satrec
+wrapper at api.py:86-187, SatrecArray at :249-359, module constants at
+:79-83): a user of ``sgp4.api`` can switch imports and keep their code.
+
+Everything routes through the vectorized catalog kernels — a ``Satrec``
+is a 1-satellite :class:`~astroz_tpu.propagation.SatCatalog`, and
+``SatrecArray.sgp4`` is one dense (n_sats, n_times) XLA program instead
+of the reference's SIMD batches + thread pool (satrec.zig:896-988).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import tle as _tle
+from .constants import (WGS72 as _WGS72_CONST, WGS72OLD as _WGS72OLD_CONST,
+                        WGS84 as _WGS84_CONST, GravityModel,
+                        MINUTES_PER_DAY, TWO_PI)
+from .propagation import SatCatalog, build_catalog, catalog_from_elements
+from .ops.sgp4 import sgp4_init
+from .time import days2mdhms, jday  # noqa: F401  (re-exported)
+
+#: gravity model selectors (python-sgp4 numbering: WGS72OLD=0, WGS72=1,
+#: WGS84=2 — we accept both these enums and our GravityModel instances)
+WGS72OLD = 0
+WGS72 = 1
+WGS84 = 2
+
+_GRAV_BY_ENUM = {WGS72OLD: _WGS72OLD_CONST, WGS72: _WGS72_CONST,
+                 WGS84: _WGS84_CONST}
+
+#: parity with python-sgp4's "accelerated" C extension flag
+accelerated = True
+
+
+def _resolve_grav(whichconst) -> GravityModel:
+    if isinstance(whichconst, GravityModel):
+        return whichconst
+    try:
+        return _GRAV_BY_ENUM[int(whichconst)]
+    except (KeyError, TypeError, ValueError):
+        raise ValueError(f"unknown gravity model {whichconst!r}") from None
+
+
+class Satrec:
+    """Single-satellite record, python-sgp4 compatible.
+
+    Reference: api.py:86-187 / satrec.zig:83-201 (twoline2rv with silent
+    SGP4->SDP4 fallback, sgp4() in (jd, fr) split, ~20 properties).
+    """
+
+    def __init__(self):
+        self._cat: Optional[SatCatalog] = None
+        self._tle: Optional[_tle.Tle] = None
+        self.error = 0
+        self.t = 0.0
+
+    # ---- construction ----------------------------------------------------
+
+    @classmethod
+    def twoline2rv(cls, line1: str, line2: str,
+                   whichconst=WGS72) -> "Satrec":
+        self = cls()
+        grav = _resolve_grav(whichconst)
+        self._tle = _tle.parse_lines(line1, line2)
+        self._cat = build_catalog([self._tle], grav=grav)
+        self.error = int(self._cat.init_errors[0])
+        return self
+
+    @classmethod
+    def sgp4init(cls, whichconst, opsmode: str, satnum: int, epoch: float,
+                 bstar: float, ndot: float, nddot: float, ecco: float,
+                 argpo: float, inclo: float, mo: float, no_kozai: float,
+                 nodeo: float) -> "Satrec":
+        """python-sgp4 compatible element-wise init. ``epoch`` is days
+        since 1949 December 31 00:00 UT (python-sgp4 convention);
+        ``no_kozai`` in rad/min."""
+        self = cls()
+        grav = _resolve_grav(whichconst)
+        epoch_jd = epoch + 2433281.5
+        els = sgp4_init(grav, no_kozai=np.asarray([no_kozai]),
+                        ecco=np.asarray([ecco]), inclo=np.asarray([inclo]),
+                        nodeo=np.asarray([nodeo]),
+                        argpo=np.asarray([argpo]), mo=np.asarray([mo]),
+                        bstar=np.asarray([bstar]),
+                        epoch_jd=np.asarray([epoch_jd]))
+        self._cat = catalog_from_elements(
+            els, grav, satnum=np.asarray([satnum], dtype=np.int64))
+        self.error = int(self._cat.init_errors[0])
+        return self
+
+    # ---- propagation ------------------------------------------------------
+
+    def sgp4(self, jd: float, fr: float
+             ) -> Tuple[int, Tuple[float, float, float],
+                        Tuple[float, float, float]]:
+        """Propagate to jd+fr. Returns (error, r_teme_km, v_teme_km_s)."""
+        e, r, v = self._sgp4_many(np.asarray([jd]), np.asarray([fr]))
+        self.error = int(e[0])
+        self.t = ((jd - self.jdsatepoch) + (fr - self.jdsatepochF)) \
+            * MINUTES_PER_DAY
+        return int(e[0]), tuple(map(float, r[0])), tuple(map(float, v[0]))
+
+    def sgp4_tsince(self, tsince: float):
+        """Propagate to minutes since epoch (python-sgp4 parity)."""
+        jd = self.jdsatepoch
+        fr = self.jdsatepochF + tsince / MINUTES_PER_DAY
+        return self.sgp4(jd, fr)
+
+    def _sgp4_many(self, jd: np.ndarray, fr: np.ndarray):
+        from .propagation import propagate
+        r, v, err = propagate(self._cat, jd, fr)
+        return (np.asarray(err)[:, 0], np.asarray(r)[:, 0],
+                np.asarray(v)[:, 0])
+
+    def sgp4_array(self, jd: np.ndarray, fr: np.ndarray):
+        """Vectorized over times: returns (e, r, v) with shapes
+        (n,), (n, 3), (n, 3) — reference api.py:144-187."""
+        e, r, v = self._sgp4_many(np.asarray(jd, np.float64),
+                                  np.asarray(fr, np.float64))
+        return e, r, v
+
+    # ---- properties (python-sgp4 names; api.py:471-496) -------------------
+
+    @property
+    def _els(self):
+        return self._cat.els
+
+    def _f(self, field) -> float:
+        return float(np.asarray(getattr(self._els, field))[0])
+
+    @property
+    def satnum(self) -> int:
+        return int(self._cat.satnum[0])
+
+    @property
+    def jdsatepoch(self) -> float:
+        return self._tle.jdsatepoch if self._tle else float(
+            np.floor(self._f("epoch_jd") - 0.5) + 0.5)
+
+    @property
+    def jdsatepochF(self) -> float:
+        return (self._tle.jdsatepochF if self._tle
+                else self._f("epoch_jd") - self.jdsatepoch)
+
+    @property
+    def epochyr(self) -> int:
+        return self._tle.epochyr if self._tle else 0
+
+    @property
+    def epochdays(self) -> float:
+        return self._tle.epochdays if self._tle else 0.0
+
+    @property
+    def classification(self) -> str:
+        return self._tle.classification if self._tle else "U"
+
+    @property
+    def intldesg(self) -> str:
+        return self._tle.intldesg if self._tle else ""
+
+    @property
+    def elnum(self) -> int:
+        return self._tle.elnum if self._tle else 0
+
+    @property
+    def revnum(self) -> int:
+        return self._tle.revnum if self._tle else 0
+
+    @property
+    def ephtype(self) -> int:
+        return self._tle.ephtype if self._tle else 0
+
+    @property
+    def ndot(self) -> float:
+        return self._tle.ndot if self._tle else 0.0
+
+    @property
+    def nddot(self) -> float:
+        return self._tle.nddot if self._tle else 0.0
+
+    @property
+    def is_deep_space(self) -> bool:
+        return bool(self._cat.is_deep[0])
+
+    # orbital elements + derived (all from the initialized element set)
+    no_kozai = property(lambda self: self._f("no_kozai"))
+    no_unkozai = property(lambda self: self._f("no_unkozai"))
+    ecco = property(lambda self: self._f("ecco"))
+    inclo = property(lambda self: self._f("inclo"))
+    nodeo = property(lambda self: self._f("nodeo"))
+    argpo = property(lambda self: self._f("argpo"))
+    mo = property(lambda self: self._f("mo"))
+    bstar = property(lambda self: self._f("bstar"))
+    a = property(lambda self: self._f("a"))
+    alta = property(lambda self: self._f("alta"))
+    altp = property(lambda self: self._f("altp"))
+    gsto = property(lambda self: self._f("gsto"))
+    mdot = property(lambda self: self._f("mdot"))
+    argpdot = property(lambda self: self._f("argpdot"))
+    nodedot = property(lambda self: self._f("nodedot"))
+
+    #: python-sgp4 compat: mean motion in rad/min (alias)
+    @property
+    def no(self) -> float:
+        return self.no_kozai
+
+    #: operation mode — always the modern 'i'mproved mode
+    operationmode = "i"
+    method = property(lambda self: "d" if self.is_deep_space else "n")
+
+
+class SatrecArray:
+    """Batch of satellites, python-sgp4 compatible.
+
+    ``sgp4(jd, fr)`` returns (e, r, v) shaped (n_sats, n_times, ...),
+    computed as one dense XLA grid — the reference's 290M props/s path
+    (api.py:249-359) without its separate SGP4/SDP4 scatter step.
+    """
+
+    def __init__(self, satrecs: Sequence[Satrec],
+                 method: str = "fast"):
+        if not satrecs:
+            raise ValueError("empty SatrecArray")
+        self._satrecs = list(satrecs)
+        self._method = method
+        grav = satrecs[0]._cat.grav
+        tles = [s._tle for s in satrecs]
+        if all(t is not None for t in tles):
+            self._cat = build_catalog(tles, grav=grav)
+        else:
+            # concatenate element pytrees from the individual catalogs
+            import jax
+            els = jax.tree_util.tree_map(
+                lambda *xs: jnp.concatenate(xs),
+                *[s._cat.els for s in satrecs])
+            satnum = np.concatenate([s._cat.satnum for s in satrecs])
+            self._cat = catalog_from_elements(els, grav, satnum=satnum)
+
+    def __len__(self) -> int:
+        return len(self._satrecs)
+
+    @property
+    def catalog(self) -> SatCatalog:
+        return self._cat
+
+    def sgp4(self, jd: np.ndarray, fr: np.ndarray,
+             velocities: bool = True):
+        """Returns (e, r, v) with shapes (n_sats, n_times),
+        (n_sats, n_times, 3), (n_sats, n_times, 3); ``v`` is None when
+        ``velocities=False`` (reference api.py:23,249-359)."""
+        from .propagation import propagate
+        r, v, err = propagate(self._cat, np.asarray(jd, np.float64),
+                              np.asarray(fr, np.float64),
+                              velocities=velocities, layout="sat_major",
+                              method=self._method)
+        e = np.asarray(err)
+        r = np.asarray(r, np.float64)
+        v = None if v is None else np.asarray(v, np.float64)
+        if velocities:
+            return e, r, v
+        return e, r

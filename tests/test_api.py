@@ -1,0 +1,116 @@
+"""python-sgp4 drop-in API surface tests.
+
+The reference CI asserts astroz.api vs sgp4.api position parity < 1 mm
+(ci.yaml:101-153); the sgp4 package is not installed here, so parity is
+asserted against the python-sgp4 golden trajectory recorded in
+tests/test_sgp4.py and against the internal catalog path.
+"""
+
+import numpy as np
+import pytest
+
+from astroz_tpu.api import (Satrec, SatrecArray, WGS72, WGS84, days2mdhms,
+                            jday)
+
+from test_sgp4 import ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2, TRAJ_REF
+from test_sdp4 import GEO_L1, GEO_L2
+
+
+def test_jday_matches_python_sgp4_convention():
+    jd, fr = jday(2024, 1, 1, 12, 0, 0.0)
+    assert jd == 2460310.5
+    assert fr == 0.5
+
+
+def test_days2mdhms():
+    mon, day, hr, minute, sec = days2mdhms(2024, 127.82853009)
+    assert (mon, day) == (5, 6)
+    assert hr == 19
+    assert minute == 53
+    assert abs(sec - 4.999776) < 1e-3
+
+
+def test_twoline2rv_properties():
+    sat = Satrec.twoline2rv(ISS_L1, ISS_L2, WGS84)
+    assert sat.satnum == 25544
+    assert abs(sat.no_kozai - 0.06767329492593213) < 1e-14
+    assert abs(sat.ecco - 0.0003580) < 1e-12
+    assert sat.epochyr == 24
+    assert not sat.is_deep_space
+    assert sat.method == "n"
+    assert sat.error == 0
+    assert sat.classification == "U"
+    assert sat.intldesg == "98067A"
+
+
+def test_sgp4_golden_trajectory():
+    sat = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    for t_min, r_ref, v_ref in TRAJ_REF:
+        jd = sat.jdsatepoch
+        fr = sat.jdsatepochF + t_min / 1440.0
+        e, r, v = sat.sgp4(jd, fr)
+        assert e == 0
+        assert np.linalg.norm(np.subtract(r, r_ref)) < 0.1
+        assert np.linalg.norm(np.subtract(v, v_ref)) < 1e-4
+        assert abs(sat.t - t_min) < 1e-9
+
+
+def test_sgp4_tsince():
+    sat = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    e, r, v = sat.sgp4_tsince(360.0)
+    assert e == 0
+    assert np.linalg.norm(np.subtract(r, TRAJ_REF[6][1])) < 0.1
+
+
+def test_sgp4_array_single_sat():
+    sat = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    times = np.array([row[0] for row in TRAJ_REF])
+    jd = np.full_like(times, sat.jdsatepoch)
+    fr = sat.jdsatepochF + times / 1440.0
+    e, r, v = sat.sgp4_array(jd, fr)
+    assert r.shape == (len(times), 3)
+    for i, (_, r_ref, _) in enumerate(TRAJ_REF):
+        assert np.linalg.norm(r[i] - r_ref) < 0.1
+
+
+def test_satrec_array_mixed():
+    sats = [Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72),
+            Satrec.twoline2rv(GEO_L1, GEO_L2, WGS72)]
+    arr = SatrecArray(sats)
+    times = np.array([0.0, 360.0, 720.0])
+    jd = np.full_like(times, sats[0].jdsatepoch)
+    fr = sats[0].jdsatepochF + times / 1440.0
+    e, r, v = arr.sgp4(jd, fr)
+    assert e.shape == (2, 3)
+    assert r.shape == (2, 3, 3)
+    assert np.all(e == 0)
+    # ISS row matches goldens (fast path: 100 m budget)
+    assert np.linalg.norm(r[0, 0] - TRAJ_REF[0][1]) < 0.1
+    assert np.linalg.norm(r[0, 1] - TRAJ_REF[6][1]) < 0.1
+    # GEO row at geostationary radius
+    assert 42000 < np.linalg.norm(r[1, 0]) < 42400
+    # velocities=False fast path
+    e2, r2 = arr.sgp4(jd, fr, velocities=False)
+    np.testing.assert_allclose(r2, r, atol=1e-9)
+
+
+def test_sgp4init_elementwise():
+    sat_tle = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    epoch_1949 = sat_tle.jdsatepoch + sat_tle.jdsatepochF - 2433281.5
+    sat = Satrec.sgp4init(
+        WGS72, "i", 25544, epoch_1949, sat_tle.bstar, 0.0, 0.0,
+        sat_tle.ecco, sat_tle.argpo, sat_tle.inclo, sat_tle.mo,
+        sat_tle.no_kozai, sat_tle.nodeo)
+    assert sat.error == 0
+    jd, fr = sat_tle.jdsatepoch, sat_tle.jdsatepochF + 0.25
+    e1, r1, v1 = sat_tle.sgp4(jd, fr)
+    e2, r2, v2 = sat.sgp4(jd, fr)
+    assert np.linalg.norm(np.subtract(r1, r2)) < 1e-6
+
+
+def test_decay_error_code():
+    l1 = "1 25544U 98067A   24001.50000000  .00016717  00000-0  99999+2 0  9999"
+    sat = Satrec.twoline2rv(l1, TRAJ_L2, WGS72)
+    e, r, v = sat.sgp4(sat.jdsatepoch + 1.0, sat.jdsatepochF)
+    assert e != 0
+    assert r == (0.0, 0.0, 0.0)
