@@ -17,12 +17,13 @@ from . import tle  # noqa: E402
 from . import frames  # noqa: E402
 from . import ops  # noqa: E402
 from . import propagation  # noqa: E402
+from . import propagators  # noqa: E402
 from . import screening  # noqa: E402
 from .propagation import SatCatalog, build_catalog, propagate  # noqa: E402
 from .screening import screen_all, screen_target  # noqa: E402
 
 __all__ = [
     "constants", "time", "tle", "frames", "ops", "propagation",
-    "screening", "SatCatalog", "build_catalog", "propagate",
+    "screening", "propagators", "SatCatalog", "build_catalog", "propagate",
     "screen_all", "screen_target", "__version__",
 ]
