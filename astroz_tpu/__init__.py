@@ -18,12 +18,20 @@ from . import frames  # noqa: E402
 from . import ops  # noqa: E402
 from . import propagation  # noqa: E402
 from . import propagators  # noqa: E402
+from . import calculations  # noqa: E402
+from . import orbital_mechanics  # noqa: E402
+from . import spacecraft  # noqa: E402
+from . import mission  # noqa: E402
+from . import montecarlo  # noqa: E402
+from . import api  # noqa: E402
 from . import screening  # noqa: E402
 from .propagation import SatCatalog, build_catalog, propagate  # noqa: E402
 from .screening import screen_all, screen_target  # noqa: E402
 
 __all__ = [
     "constants", "time", "tle", "frames", "ops", "propagation",
-    "screening", "propagators", "SatCatalog", "build_catalog", "propagate",
+    "screening", "propagators", "calculations",
+    "orbital_mechanics", "spacecraft", "mission", "montecarlo", "api",
+    "SatCatalog", "build_catalog", "propagate",
     "screen_all", "screen_target", "__version__",
 ]
