@@ -24,6 +24,10 @@ from . import spacecraft  # noqa: E402
 from . import mission  # noqa: E402
 from . import montecarlo  # noqa: E402
 from . import api  # noqa: E402
+from . import equatorial  # noqa: E402
+from . import fits  # noqa: E402
+from . import io  # noqa: E402
+from . import spice  # noqa: E402
 from . import screening  # noqa: E402
 from .propagation import SatCatalog, build_catalog, propagate  # noqa: E402
 from .screening import screen_all, screen_target  # noqa: E402
@@ -32,6 +36,7 @@ __all__ = [
     "constants", "time", "tle", "frames", "ops", "propagation",
     "screening", "propagators", "calculations",
     "orbital_mechanics", "spacecraft", "mission", "montecarlo", "api",
+    "equatorial", "fits", "io", "spice",
     "SatCatalog", "build_catalog", "propagate",
     "screen_all", "screen_target", "__version__",
 ]
