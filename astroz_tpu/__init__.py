@@ -28,6 +28,8 @@ from . import equatorial  # noqa: E402
 from . import fits  # noqa: E402
 from . import io  # noqa: E402
 from . import spice  # noqa: E402
+from . import constellation  # noqa: E402
+from .constellation import Constellation  # noqa: E402
 from . import screening  # noqa: E402
 from .propagation import SatCatalog, build_catalog, propagate  # noqa: E402
 from .screening import screen_all, screen_target  # noqa: E402
@@ -36,7 +38,7 @@ __all__ = [
     "constants", "time", "tle", "frames", "ops", "propagation",
     "screening", "propagators", "calculations",
     "orbital_mechanics", "spacecraft", "mission", "montecarlo", "api",
-    "equatorial", "fits", "io", "spice",
+    "equatorial", "fits", "io", "spice", "constellation", "Constellation",
     "SatCatalog", "build_catalog", "propagate",
     "screen_all", "screen_target", "__version__",
 ]
