@@ -116,18 +116,31 @@ def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
     if isinstance(source, TleArrays):
         arrays = source
     else:
+        arrays = None
         if isinstance(source, str):
             stripped = source.lstrip()
             if stripped.startswith("[") or stripped.startswith("{"):
                 tles = parse_omm(source)
             else:
-                tles = list(iter_tles(source))
+                # pure 2-line catalogs (no names) take the native C++
+                # bulk parser; named 3LE catalogs keep the Python path
+                # so names survive
+                has_names = any(
+                    ln and not ln.lstrip().startswith(("1 ", "2 "))
+                    for ln in source.splitlines())
+                if not has_names:
+                    arrays = TleArrays.from_text(source)
+                    if len(arrays) == 0:
+                        raise ValueError("no TLEs found in source")
+                tles = None if arrays is not None \
+                    else list(iter_tles(source))
         else:
             tles = list(source)
-        if not tles:
-            raise ValueError("no TLEs found in source")
-        names = tuple(t.name for t in tles)
-        arrays = TleArrays.from_tles(tles)
+        if arrays is None:
+            if not tles:
+                raise ValueError("no TLEs found in source")
+            names = tuple(t.name for t in tles)
+            arrays = TleArrays.from_tles(tles)
 
     els = sgp4_init(
         grav,

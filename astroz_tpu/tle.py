@@ -273,6 +273,27 @@ class TleArrays:
         return int(self.satnum.shape[0])
 
     @classmethod
+    def from_text(cls, text: str, allow_native: bool = True
+                  ) -> "TleArrays":
+        """Parse catalog text straight into SoA columns.
+
+        Uses the C++ bulk parser (astroz_tpu/native/tle_parser.cpp)
+        when available — ~50x faster on full catalogs — falling back
+        to the pure-Python line parser. Both produce identical columns
+        (test-gated)."""
+        if allow_native:
+            from . import native
+            res = native.parse_catalog(text)
+            if res is not None:
+                cols, satnums = res
+                return cls(satnum=satnums, epoch_jd=cols[0],
+                           jdsatepoch=cols[1], jdsatepochF=cols[2],
+                           no_kozai=cols[3], ecco=cols[4], inclo=cols[5],
+                           nodeo=cols[6], argpo=cols[7], mo=cols[8],
+                           bstar=cols[9], ndot=cols[10], nddot=cols[11])
+        return cls.from_tles(list(iter_tles(text)))
+
+    @classmethod
     def from_tles(cls, tles: Sequence[Tle]) -> "TleArrays":
         def col(attr, dtype=np.float64):
             return np.asarray([getattr(t, attr) for t in tles], dtype=dtype)
