@@ -136,22 +136,25 @@ def _resonance_derivs_fast(deep: DeepElements, els: Sgp4Elements, xli, xni,
 
 
 def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
-    """f32 equinoctial Kepler: masked Newton with polynomial sincos.
+    """f32 equinoctial Kepler: fixed-trip Newton with polynomial sincos.
 
     Same scheme as ops.sgp4.solve_kepler (reference Sgp4.zig:687-694)
     but each iteration's sin+cos costs ~13 flops instead of two full
-    XLA transcendental expansions. ``iters=8`` converges below f32
-    resolution for e <= 0.9 (see tests/test_fast.py stress grid).
+    XLA transcendental expansions, and the converged-lane freeze mask
+    is dropped — a converged Newton step is already a numerical no-op,
+    so the mask only cost ops without changing results. ``iters=8``
+    converges below f32 resolution for e <= 0.9 (stress grid in
+    tests/test_fast.py); 5 suffices for e <= 0.35 (the shallow-catalog
+    case, chosen per-catalog by the caller).
     """
     eo1 = u
-    done = jnp.zeros(jnp.shape(u), bool)
     sineo1, coseo1 = sincos(eo1)
     for _ in range(iters):
         denom = 1.0 - coseo1 * axnl - sineo1 * aynl
         tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / denom
-        tem5 = jnp.clip(tem5, -0.95, 0.95)
-        eo1 = jnp.where(done, eo1, eo1 + tem5)
-        done = done | (jnp.abs(tem5) < 1.0e-7)
+        # minimum/maximum instead of jnp.clip: clip lowers with f64
+        # constants under x64, which Mosaic cannot compile
+        eo1 = eo1 + jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
         sineo1, coseo1 = sincos(eo1)
     return eo1, sineo1, coseo1
 
@@ -245,6 +248,148 @@ def _dpper_fast(deep: DeepElements, t32, ep, inclp, sin_node, cos_node,
             jnp.where(ok, u_sum + du, u_sum))
 
 
+def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
+                     mm, argp32, node32, xmdf32, *, omgcof, eta, xmcof,
+                     delmo, not_simp, cc1, d2, d3, d4, bstar, cc4, cc5,
+                     sinmao, ecco, inclo, a, aycof, xlcof, con41, x1mth2,
+                     x7thm1, error0):
+    """The f32 near-earth tail: drag -> Kepler -> short-period -> TEME.
+
+    Shared between the XLA shallow path of :func:`propagate_fast` and
+    the Pallas kernel (ops/pallas_sgp4.py) — same numerics, two
+    execution engines. All grid inputs are f32 pre-reduced angles from
+    the f64 spine; per-satellite fields broadcast. Returns the six
+    position/velocity components + int32 error codes (components stay
+    separate so the Pallas kernel can store lane-aligned planes).
+    """
+    error = error0 + jnp.zeros(jnp.shape(u_base), jnp.int32)
+
+    # ---- drag (reference: updateSecular, Sgp4.zig:435-477) --------------
+    cos_xmdf, _unused = sincos(xmdf32)
+    delmtemp = 1.0 + eta * cos_xmdf
+    tempd = omgcof * t32 + xmcof * (delmtemp * delmtemp * delmtemp
+                                    - delmo)
+    mm_drag = jnp.where(not_simp, mm + tempd, mm)
+
+    t2_32 = t32 * t32
+    tempa = (1.0 - cc1 * t32 - d2 * t2_32 - d3 * t2_32 * t32
+             - d4 * t2_32 * t2_32)
+    sin_mm, _unused = sincos(mm_drag)
+    tempe = bstar * cc4 * t32 + jnp.where(
+        not_simp, bstar * cc5 * (sin_mm - sinmao), 0.0)
+
+    # ---- semi-major axis / mean motion -----------------------------------
+    xke32 = _f32(grav.xke)
+    am = a * tempa * tempa
+    am_safe = jnp.where(am > 0.0, am, 1.0)
+    nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
+
+    em = ecco - tempe
+    error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), jnp.int32(1), error)
+    em = jnp.minimum(jnp.maximum(em, 1.0e-6), 0.999999)
+
+    sin_node, cos_node = sincos(node32 + jnp.zeros_like(u_base))
+    argpp = jnp.where(not_simp, argp32 - tempd, argp32) \
+        + jnp.zeros_like(u_base)
+    sinip, cosip = sincos(inclo + jnp.zeros_like(u_base))
+
+    # ---- long-period terms + Kepler (Sgp4.zig:646-750) -------------------
+    sin_argpp, cos_argpp = sincos(argpp)
+    axnl = em * cos_argpp
+    temp_lp = 1.0 / (am_safe * (1.0 - em * em))
+    aynl = em * sin_argpp + temp_lp * aycof
+    u_kep = _wrap_two_pi_f32(u_base + temp_lp * xlcof * axnl)
+    eo1, sineo1, coseo1 = solve_kepler_fast(u_kep, axnl, aynl,
+                                            iters=kepler_iters)
+
+    # ---- short-period corrections + position/velocity --------------------
+    ecose = axnl * coseo1 + aynl * sineo1
+    esine = axnl * sineo1 - aynl * coseo1
+    el2 = axnl * axnl + aynl * aynl
+    pl = am * (1.0 - el2)
+    error = jnp.where((pl < 0.0) & (error == 0), jnp.int32(4), error)
+    pl_safe = jnp.where(pl > 0.0, pl, 1.0)
+
+    rl = am * (1.0 - ecose)
+    rdotl = jnp.sqrt(am_safe) * esine / rl
+    rvdotl = jnp.sqrt(pl_safe) / rl
+    betal = jnp.sqrt(jnp.abs(1.0 - el2))
+    temp_b = esine / (1.0 + betal)
+    sinu = am / rl * (sineo1 - aynl - axnl * temp_b)
+    cosu = am / rl * (coseo1 - axnl + aynl * temp_b)
+    sin2u = (cosu + cosu) * sinu
+    cos2u = 1.0 - 2.0 * sinu * sinu
+    temp_p = 1.0 / pl_safe
+    temp1 = 0.5 * _f32(grav.j2) * temp_p
+    temp2 = temp1 * temp_p
+
+    mrt = (rl * (1.0 - 1.5 * temp2 * betal * con41)
+           + 0.5 * temp1 * x1mth2 * cos2u)
+    sinsu, cossu = angle_add(sinu, cosu, -0.25 * temp2 * x7thm1 * sin2u)
+    snod, cnod = angle_add(sin_node, cos_node,
+                           1.5 * temp2 * cosip * sin2u)
+    sini, cosi = angle_add(sinip, cosip,
+                           1.5 * temp2 * cosip * sinip * cos2u)
+    mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
+    rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
+
+    xmx = -snod * cosi
+    xmy = cnod * cosi
+    ux = xmx * sinsu + cnod * cossu
+    uy = xmy * sinsu + snod * cossu
+    uz = sini * sinsu
+    vx_ = xmx * cossu - cnod * sinsu
+    vy_ = xmy * cossu - snod * sinsu
+    vz_ = sini * cossu
+
+    re = _f32(grav.radius_earth_km)
+    vkmpersec = _f32(grav.radius_earth_km * grav.xke / 60.0)
+    error = jnp.where((mrt < 1.0) & (error == 0), jnp.int32(6), error)
+    ok = error == 0
+    mrt_re = jnp.where(ok, mrt * re, 0.0)
+    mvt_s = jnp.where(ok, vkmpersec * mvt, 0.0)
+    rvdot_s = jnp.where(ok, vkmpersec * rvdot, 0.0)
+    return (mrt_re * ux, mrt_re * uy, mrt_re * uz,
+            mvt_s * ux + rvdot_s * vx_,
+            mvt_s * uy + rvdot_s * vy_,
+            mvt_s * uz + rvdot_s * vz_, error)
+
+
+def _shallow_f32_fields(els: Sgp4Elements):
+    """The per-satellite f32 field bundle shallow_tail_f32 consumes."""
+    return dict(
+        omgcof=_f32(els.omgcof), eta=_f32(els.eta), xmcof=_f32(els.xmcof),
+        delmo=_f32(els.delmo), not_simp=~els.isimp, cc1=_f32(els.cc1),
+        d2=_f32(els.d2), d3=_f32(els.d3), d4=_f32(els.d4),
+        bstar=_f32(els.bstar), cc4=_f32(els.cc4), cc5=_f32(els.cc5),
+        sinmao=_f32(els.sinmao), ecco=_f32(els.ecco),
+        inclo=_f32(els.inclo), a=_f32(els.a), aycof=_f32(els.aycof),
+        xlcof=_f32(els.xlcof), con41=_f32(els.con41),
+        x1mth2=_f32(els.x1mth2), x7thm1=_f32(els.x7thm1),
+        error0=els.error)
+
+
+def spine_f64(els: Sgp4Elements, t):
+    """The f64 angle spine for near-earth satellites: accumulate the
+    time-growing angles in f64, reduce mod 2pi, cast to f32.
+
+    Returns (t32, u_base, mm, argp32, node32, xmdf32)."""
+    two_pi = TWO_PI
+    xmdf = els.mo + els.mdot * t
+    argpdf = els.argpo + els.argpdot * t
+    t2 = t * t
+    nodem64 = els.nodeo + els.nodedot * t + els.nodecf * t2
+    templ_big = els.no_unkozai * t2 * (
+        els.t2cof + t * (els.t3cof + t * (els.t4cof + t * els.t5cof)))
+    mm_spine = xmdf + templ_big
+    return (_f32(t),
+            _f32(jnp.remainder(mm_spine + argpdf, two_pi)),
+            _f32(jnp.remainder(mm_spine, two_pi)),
+            _f32(jnp.remainder(argpdf, two_pi)),
+            _f32(jnp.remainder(nodem64, two_pi)),
+            _f32(jnp.remainder(xmdf, two_pi)))
+
+
 def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
                    grav: GravityModel,
                    carry: Optional[ResonanceCarry] = None,
@@ -260,6 +405,16 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     f64 = els.no_kozai.dtype
     t = jnp.asarray(tsince, f64)
     two_pi = TWO_PI
+
+    if deep is None:
+        # near-earth-only: shared spine + tail (also used by the Pallas
+        # engine, ops/pallas_sgp4.py)
+        spine = spine_f64(els, t)
+        rx, ry, rz, vx, vy, vz, error = shallow_tail_f32(
+            grav, kepler_iters, *spine, **_shallow_f32_fields(els))
+        r = jnp.stack([rx, ry, rz], axis=-1)
+        v = jnp.stack([vx, vy, vz], axis=-1)
+        return r, v, error
 
     # =====================================================================
     # f64 spine: time-growing angle accumulation (~25 flops)
@@ -374,7 +529,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
         # deep lanes: nm from resonance; am = (xke/nm)^(2/3) * tempa^2
         from .fastmath import pow23
         bad_nm = nm_deep <= 0.0
-        error = jnp.where(bad_nm & is_deep & (error == 0), 2, error)
+        error = jnp.where(bad_nm & is_deep & (error == 0), jnp.int32(2), error)
         a_base = jnp.where(is_deep,
                            pow23(xke32 / jnp.where(bad_nm, 1e-8, nm_deep)),
                            _f32(els.a))
@@ -390,8 +545,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
         inclm = inclo + _f32(deep.didt) * t32
     else:
         inclm = inclo + jnp.zeros_like(em)
-    error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), 1,
-                      error)
+    error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), jnp.int32(1), error)
     em = jnp.clip(em, 1.0e-6, 0.999999)
 
     # ---- lunisolar periodics + node (deep lanes) -------------------------
@@ -413,8 +567,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
         sin_node = jnp.where(neg_inc, -sin_node, sin_node)
         cos_node = jnp.where(neg_inc, -cos_node, cos_node)
         argpp = jnp.where(neg_inc, argpp - _f32(PI), argpp)
-        error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), 3,
-                          error)
+        error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), jnp.int32(3), error)
         ep = jnp.clip(ep, 1e-12, 0.999999)
 
     # ---- inclination-dependent coefficients ------------------------------
@@ -452,7 +605,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     esine = axnl * sineo1 - aynl * coseo1
     el2 = axnl * axnl + aynl * aynl
     pl = am * (1.0 - el2)
-    error = jnp.where((pl < 0.0) & (error == 0), 4, error)
+    error = jnp.where((pl < 0.0) & (error == 0), jnp.int32(4), error)
     pl_safe = jnp.where(pl > 0.0, pl, 1.0)
 
     rl = am * (1.0 - ecose)
@@ -498,8 +651,70 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
          vkmpersec * (mvt * uy + rvdot * vy),
          vkmpersec * (mvt * uz + rvdot * vz)], axis=-1)
 
-    error = jnp.where((mrt < 1.0) & (error == 0), 6, error)
+    error = jnp.where((mrt < 1.0) & (error == 0), jnp.int32(6), error)
     ok = (error == 0)[..., None]
     r = jnp.where(ok, r, 0.0)
     v = jnp.where(ok, v, 0.0)
     return r, v, error
+
+
+# ---------------------------------------------------------------------------
+# Double-f32 spine — the fully-fused (no-f64) variant for Pallas
+# ---------------------------------------------------------------------------
+
+from .fastmath import (df_add, df_mul, df_reduce_two_pi,  # noqa: E402
+                       reduce_two_pi_f32, split_f64, two_prod)
+
+#: per-satellite fields consumed by spine_df32, in kernel feed order
+SPINE_FIELD_NAMES = ("u0h", "u0l", "udh", "udl", "c2h", "c2l", "c3",
+                     "c4", "c5", "mo32", "mdot32", "ago32", "agdot32",
+                     "no32", "ndot32", "ncf32")
+
+
+def spine_df32_fields(els: Sgp4Elements):
+    """Per-satellite split coefficients for the in-kernel spine,
+    derived once (f64, O(n_sats)) from the element pytree."""
+    two_pi = TWO_PI
+    u0h, u0l = split_f64(jnp.remainder(els.mo + els.argpo, two_pi))
+    udh, udl = split_f64(els.mdot + els.argpdot)
+    c2h, c2l = split_f64(els.no_unkozai * els.t2cof)
+    return dict(
+        u0h=u0h, u0l=u0l, udh=udh, udl=udl, c2h=c2h, c2l=c2l,
+        c3=_f32(els.no_unkozai * els.t3cof),
+        c4=_f32(els.no_unkozai * els.t4cof),
+        c5=_f32(els.no_unkozai * els.t5cof),
+        mo32=_f32(jnp.remainder(els.mo, two_pi)), mdot32=_f32(els.mdot),
+        ago32=_f32(jnp.remainder(els.argpo, two_pi)),
+        agdot32=_f32(els.argpdot),
+        no32=_f32(jnp.remainder(els.nodeo, two_pi)),
+        ndot32=_f32(els.nodedot), ncf32=_f32(els.nodecf))
+
+
+def spine_df32(t_hi, t_lo, u0h, u0l, udh, udl, c2h, c2l, c3, c4, c5,
+               mo32, mdot32, ago32, agdot32, no32, ndot32, ncf32):
+    """All-f32 angle spine: the Kepler argument runs in double-f32
+    (Dekker arithmetic, ~48-bit), the drag/orientation-tolerant angles
+    in plain f32 Cody-Waite. Numerically equivalent to the f64 spine to
+    ~1e-7 rad (< 1 m) out to ~1e5 minutes — see tests/test_fast.py.
+
+    Returns (t32, u_base, mm, argp32, node32, xmdf32), the same tuple
+    contract as :func:`spine_f64`.
+    """
+    t32 = t_hi
+    # t^2 in double-f32 (exact square + cross term)
+    t2h, t2l = two_prod(t_hi, t_hi)
+    t2l = t2l + 2.0 * t_hi * t_lo
+    # templ = c2*t^2 (df32) + higher-order drag polynomial (f32)
+    th_, tl_ = df_mul(c2h, c2l, t2h, t2l)
+    tl_ = tl_ + t2h * t32 * (c3 + t32 * (c4 + t32 * c5))
+    # u = u0 + (mdot + argpdot)*t + templ, reduced in double-f32
+    ph, pl = df_mul(udh, udl, t_hi, t_lo)
+    sh, sl = df_add(ph, pl, u0h, u0l)
+    sh, sl = df_add(sh, sl, th_, tl_)
+    u32 = df_reduce_two_pi(sh, sl)
+    # tolerant angles: plain f32 with a two-part 2pi reduction
+    xmdf32 = reduce_two_pi_f32(mo32 + mdot32 * t32)
+    mm32 = reduce_two_pi_f32(xmdf32 + (th_ + tl_))
+    argp32 = reduce_two_pi_f32(ago32 + agdot32 * t32)
+    node32 = reduce_two_pi_f32(no32 + t32 * (ndot32 + ncf32 * t32))
+    return t32, u32, mm32, argp32, node32, xmdf32

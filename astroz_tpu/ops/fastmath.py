@@ -107,3 +107,137 @@ def pow23(x):
 def pow15(x):
     """x^(3/2) = x * sqrt(x) (reference: simdMath.zig:180-182)."""
     return x * jnp.sqrt(x)
+
+
+# ---------------------------------------------------------------------------
+# Double-f32 (Dekker) arithmetic — for the angle spine inside Pallas
+# kernels, where f64 is unavailable. A value is an unevaluated sum
+# hi + lo of two f32s (~48 bits of precision).
+# ---------------------------------------------------------------------------
+
+TWO_PI_F64 = 6.283185307179586476925286766559
+TWO_PI_HI = 6.2831854820251464843750  # f32(2pi)
+TWO_PI_LO = TWO_PI_F64 - 6.2831854820251464843750
+INV_TWO_PI = 0.15915494309189535
+
+
+#: barrier switch — Pallas/Mosaic neither implements
+#: optimization_barrier nor runs XLA's algebraic simplifier, so kernels
+#: trace with barriers off (see no_barriers()); accuracy is test-gated
+#: on both engines.
+_BARRIERS_ON = True
+
+
+class no_barriers:
+    """Context manager: trace compensated arithmetic with the Pallas
+    barrier flavor (bitcast round-trip) instead of
+    lax.optimization_barrier, which Mosaic cannot lower. The bitcast is
+    a semantic identity that float-algebra pattern matching cannot see
+    through, so Mosaic's canonicalizer keeps the rounded intermediates
+    Dekker arithmetic depends on."""
+
+    def __enter__(self):
+        global _BARRIERS_ON
+        self._prev = _BARRIERS_ON
+        _BARRIERS_ON = "pallas"
+
+    def __exit__(self, *exc):
+        global _BARRIERS_ON
+        _BARRIERS_ON = self._prev
+
+
+def _nofold(x):
+    """Optimization barrier: XLA's algebraic simplifier (especially
+    under --xla_allow_excess_precision, which the TPU compile service
+    forces) folds compensated-arithmetic identities like (a+b)-a -> b,
+    silently destroying the error terms Dekker arithmetic depends on.
+    Barrier the cancellation-critical intermediates so the rounded
+    values are kept as computed."""
+    if _BARRIERS_ON == "pallas":
+        import jax.numpy as _jnp
+        x = _jnp.asarray(x)
+        if x.dtype != _jnp.float32:
+            # python-float constants fold at trace time; only traced
+            # f32 values need the barrier
+            return x
+        return x.view(_jnp.int32).view(_jnp.float32)
+    import jax as _jax
+    return _jax.lax.optimization_barrier(x)
+
+
+def df_split(x):
+    """Dekker split of an f32 into 12-bit-high + low halves (no FMA)."""
+    c = x * 4097.0
+    hi = _nofold(c - _nofold(c - x))
+    return hi, x - hi
+
+
+def two_sum(a, b):
+    """Exact a + b = s + err (Knuth, 6 flops)."""
+    s = _nofold(a + b)
+    bb = _nofold(s - a)
+    return s, (a - _nofold(s - bb)) + (b - bb)
+
+
+def two_prod(a, b):
+    """Exact a * b = p + err via Dekker splitting (no FMA assumed)."""
+    p = _nofold(a * b)
+    ah, al = df_split(a)
+    bh, bl = df_split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def df_add(xh, xl, yh, yl):
+    """Double-f32 addition (sloppy renormalized)."""
+    sh, sl = two_sum(xh, yh)
+    sl = sl + (xl + yl)
+    s2h = _nofold(sh + sl)
+    return s2h, sl - _nofold(s2h - sh)
+
+
+def df_mul(xh, xl, yh, yl):
+    """Double-f32 multiplication."""
+    ph, pl = two_prod(xh, yh)
+    pl = pl + (xh * yl + xl * yh)
+    s = _nofold(ph + pl)
+    return s, pl - _nofold(s - ph)
+
+
+#: three-part 2pi for Cody-Waite reduction: 8x the Cephes pi/4 split.
+#: the leading part has 8 mantissa bits, so k * TP_A is exact in f32
+#: for k < 2^16.
+TP_A = 8.0 * 0.78515625
+TP_B = 8.0 * 2.4187564849853515625e-4
+TP_C = 8.0 * 3.77489497744594108e-8
+
+
+def df_reduce_two_pi(xh, xl):
+    """(hi, lo) angle -> f32 in ~[-pi, pi] via three-part Cody-Waite.
+
+    The constants are split at trace time (python floats), so unlike a
+    runtime Dekker split of a constant this stays exact under both XLA
+    and Mosaic. Error ~1e-7 rad for |x| up to ~1e5.
+    """
+    import jax.numpy as _jnp
+    k = _jnp.round(xh * INV_TWO_PI)
+    y = _nofold(xh - k * TP_A)
+    y = _nofold(y - k * TP_B)
+    y = y - k * TP_C
+    return y + xl
+
+
+def split_f64(x, dtype=None):
+    """Host/XLA-side: split an f64 array into an (hi, lo) f32 pair."""
+    import jax.numpy as _jnp
+    hi = _jnp.asarray(x, _jnp.float32)
+    lo = _jnp.asarray(x - hi.astype(x.dtype), _jnp.float32)
+    return hi, lo
+
+
+def reduce_two_pi_f32(x):
+    """Plain-f32 Cody-Waite mod-2pi for low-precision angles
+    (|budget| >= ~1e-5 rad): x - round(x/2pi) * (2pi_hi + 2pi_lo)."""
+    import jax.numpy as _jnp
+    k = _jnp.round(x * INV_TWO_PI)
+    return (x - k * TWO_PI_HI) - k * TWO_PI_LO

@@ -1,0 +1,234 @@
+"""Pallas TPU kernel for the near-earth fast tail.
+
+The hot-op analogue of the reference's dispatched SIMD kernels
+(simdKernels.zig:9-29 + Sgp4Batch.propagateBatchDirect): one fused
+kernel per (time_block, sat_block) tile computing drag -> Kepler ->
+short-period -> TEME entirely in VMEM, with per-satellite element
+fields loaded once per tile column. The numerics are byte-identical to
+the XLA shallow path — both engines call
+:func:`astroz_tpu.ops.fast.shallow_tail_f32` — so this kernel is purely
+an execution-engine swap, selectable with ``engine="pallas"``.
+
+The f64 angle spine stays in XLA (Mosaic has no f64); the spine's five
+reduced-angle grids are materialized to HBM and streamed through VMEM
+by the Pallas pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import GravityModel
+from .sgp4 import Sgp4Elements
+from .fast import _shallow_f32_fields, shallow_tail_f32, spine_f64
+
+#: default tile: 8 sublanes x 512 lanes of f32
+TIME_BLOCK = 8
+SAT_BLOCK = 512
+
+#: per-satellite field order fed to the kernel as one (n_fields, S) array
+_FIELD_NAMES = ("omgcof", "eta", "xmcof", "delmo", "cc1", "d2", "d3",
+                "d4", "bstar", "cc4", "cc5", "sinmao", "ecco", "inclo",
+                "a", "aycof", "xlcof", "con41", "x1mth2", "x7thm1")
+
+
+def _kernel(grav, kepler_iters, t_ref, ub_ref, mm_ref, ar_ref, no_ref,
+            xm_ref, fields_ref, simp_ref, err0_ref,
+            rx_ref, ry_ref, rz_ref, vx_ref, vy_ref, vz_ref, err_ref):
+    f = {name: fields_ref[i, :] for i, name in enumerate(_FIELD_NAMES)}
+    f["not_simp"] = simp_ref[0, :] == 0
+    f["error0"] = err0_ref[0, :]
+    rx, ry, rz, vx, vy, vz, err = shallow_tail_f32(
+        grav, kepler_iters, t_ref[:], ub_ref[:], mm_ref[:], ar_ref[:],
+        no_ref[:], xm_ref[:], **f)
+    rx_ref[:] = rx
+    ry_ref[:] = ry
+    rz_ref[:] = rz
+    vx_ref[:] = vx
+    vy_ref[:] = vy
+    vz_ref[:] = vz
+    err_ref[:] = err
+
+
+@functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
+                                             "time_block", "sat_block",
+                                             "interpret"))
+def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
+                          kepler_iters: int = 5,
+                          time_block: int = TIME_BLOCK,
+                          sat_block: int = SAT_BLOCK,
+                          interpret: bool = False
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Near-earth dense-grid propagate through the Pallas engine.
+
+    ``tsince``: (n_times, 1) or (n_times, n_sats) f64 minutes. Returns
+    (r, v, error) like :func:`ops.fast.propagate_fast` (shallow path).
+    Shapes are padded to tile multiples internally and trimmed.
+    """
+    t = jnp.asarray(tsince)
+    n_sats = els.no_kozai.shape[0]
+    n_times = t.shape[0]
+
+    # f64 spine in XLA (fused), producing the f32 reduced-angle grids
+    spine = spine_f64(els, t)
+    grids = [jnp.broadcast_to(g, (n_times, n_sats)) for g in spine]
+
+    # pack per-sat fields into one (n_fields, S) f32 array
+    fdict = _shallow_f32_fields(els)
+    fields = jnp.stack([fdict[n] for n in _FIELD_NAMES])
+    simp = (~fdict["not_simp"]).astype(jnp.int32)[None, :]
+    err0 = fdict["error0"].astype(jnp.int32)[None, :]
+
+    # pad to tile multiples
+    tp = (-n_times) % time_block
+    sp = (-n_sats) % sat_block
+    if tp or sp:
+        grids = [jnp.pad(g, ((0, tp), (0, sp))) for g in grids]
+        fields = jnp.pad(fields, ((0, 0), (0, sp)),
+                         constant_values=0.5)  # benign pad values
+        simp = jnp.pad(simp, ((0, 0), (0, sp)), constant_values=1)
+        err0 = jnp.pad(err0, ((0, 0), (0, sp)))
+    tt, ss = n_times + tp, n_sats + sp
+
+    # NOTE: literal 0 in an index map becomes an i64 under x64 and
+    # Mosaic refuses mixed (i64, i32) index returns — derive the zero
+    # from the (i32) program id instead.
+    def col_map(i, j):
+        return (i - i, j)
+
+    grid = (tt // time_block, ss // sat_block)
+    grid_spec = pl.GridSpec(
+        grid=grid,
+        in_specs=[pl.BlockSpec((time_block, sat_block),
+                               lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec((len(_FIELD_NAMES), sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((time_block, sat_block),
+                                lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 7,
+    )
+    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_kernel, grav, kepler_iters),
+        out_shape=[shape_f] * 6 + [shape_i],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*grids, fields, simp, err0)
+
+    rx, ry, rz, vx, vy, vz, err = [o[:n_times, :n_sats] for o in outs]
+    r = jnp.stack([rx, ry, rz], axis=-1)
+    v = jnp.stack([vx, vy, vz], axis=-1)
+    return r, v, err
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused variant: double-f32 spine inside the kernel (no f64 at all)
+# ---------------------------------------------------------------------------
+
+from .fast import SPINE_FIELD_NAMES, spine_df32, spine_df32_fields
+from .fastmath import no_barriers, split_f64
+
+_ALL_FIELDS = tuple(SPINE_FIELD_NAMES) + _FIELD_NAMES
+
+
+def _kernel_fused(grav, kepler_iters, th_ref, tl_ref, fields_ref,
+                  simp_ref, err0_ref, rx_ref, ry_ref, rz_ref, vx_ref,
+                  vy_ref, vz_ref, err_ref):
+    sf = {name: fields_ref[i, :] for i, name in
+          enumerate(SPINE_FIELD_NAMES)}
+    off = len(SPINE_FIELD_NAMES)
+    f = {name: fields_ref[off + i, :] for i, name in
+         enumerate(_FIELD_NAMES)}
+    f["not_simp"] = simp_ref[0, :] == 0
+    f["error0"] = err0_ref[0, :]
+    spine = spine_df32(th_ref[:], tl_ref[:], **sf)
+    rx, ry, rz, vx, vy, vz, err = shallow_tail_f32(
+        grav, kepler_iters, *spine, **f)
+    rx_ref[:] = rx
+    ry_ref[:] = ry
+    rz_ref[:] = rz
+    vx_ref[:] = vx
+    vy_ref[:] = vy
+    vz_ref[:] = vz
+    err_ref[:] = err
+
+
+@functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
+                                             "time_block", "sat_block",
+                                             "interpret"))
+def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
+                                grav: GravityModel, kepler_iters: int = 5,
+                                time_block: int = TIME_BLOCK,
+                                sat_block: int = SAT_BLOCK,
+                                interpret: bool = False
+                                ) -> Tuple[jax.Array, jax.Array,
+                                           jax.Array]:
+    """Near-earth propagate with the whole computation in one Pallas
+    kernel: the time-growing angles run in double-f32 (Dekker)
+    arithmetic inside the kernel, so nothing touches (emulated) f64 per
+    grid point — only the O(n_times + n_sats) splits are f64."""
+    t = jnp.asarray(tsince)
+    n_sats = els.no_kozai.shape[0]
+    n_times = t.shape[0]
+    th, tl = split_f64(jnp.broadcast_to(t, (n_times, n_sats)))
+
+    fdict = dict(spine_df32_fields(els))
+    fdict.update(_shallow_f32_fields(els))
+    fields = jnp.stack([fdict[n] for n in _ALL_FIELDS])
+    simp = (~fdict["not_simp"]).astype(jnp.int32)[None, :]
+    err0 = fdict["error0"].astype(jnp.int32)[None, :]
+
+    tp = (-n_times) % time_block
+    sp = (-n_sats) % sat_block
+    if tp or sp:
+        th = jnp.pad(th, ((0, tp), (0, sp)))
+        tl = jnp.pad(tl, ((0, tp), (0, sp)))
+        fields = jnp.pad(fields, ((0, 0), (0, sp)), constant_values=0.5)
+        simp = jnp.pad(simp, ((0, 0), (0, sp)), constant_values=1)
+        err0 = jnp.pad(err0, ((0, 0), (0, sp)))
+    tt, ss = n_times + tp, n_sats + sp
+
+    def col_map(i, j):
+        return (i - i, j)
+
+    grid_spec = pl.GridSpec(
+        grid=(tt // time_block, ss // sat_block),
+        in_specs=[pl.BlockSpec((time_block, sat_block),
+                               lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((len(_ALL_FIELDS), sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((time_block, sat_block),
+                                lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 7,
+    )
+    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    with no_barriers():
+        outs = pl.pallas_call(
+            functools.partial(_kernel_fused, grav, kepler_iters),
+            out_shape=[shape_f] * 6 + [shape_i],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(th, tl, fields, simp, err0)
+
+    rx, ry, rz, vx, vy, vz, err = [o[:n_times, :n_sats] for o in outs]
+    r = jnp.stack([rx, ry, rz], axis=-1)
+    v = jnp.stack([vx, vy, vz], axis=-1)
+    return r, v, err

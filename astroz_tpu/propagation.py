@@ -100,6 +100,16 @@ class SatCatalog:
         """Per-satellite python-sgp4 init error codes (0 = ok)."""
         return np.asarray(self.els.error)
 
+    @property
+    def kepler_iters(self) -> int:
+        """Static Newton trip count for the fast shallow kernel: 5
+        suffices below e ~ 0.35 (stress-gated in tests/test_fast.py);
+        high-e lanes (always in the deep partition for real catalogs,
+        but guarded here anyway) get the full 8."""
+        max_ecc = float(np.asarray(self.els.ecco).max()) if len(self) \
+            else 0.0
+        return 5 if max_ecc < 0.3 else 8
+
 
 def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
                   grav: GravityModel = WGS72) -> SatCatalog:
@@ -214,22 +224,48 @@ def _propagate_mixed(els: Sgp4Elements, deep: DeepElements, tsince, jd_sum,
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
-@partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
+def _shallow_engine(els, tsince, grav, kepler_iters, engine):
+    """Run the shallow fast kernel on the chosen engine: the fused
+    Pallas kernel on TPU ('pallas') or the XLA elementwise graph."""
+    if engine == "pallas":
+        from .ops.pallas_sgp4 import propagate_fast_pallas_fused
+        return propagate_fast_pallas_fused(els, tsince, grav,
+                                           kepler_iters=kepler_iters)
+    return propagate_fast(els, None, tsince, grav,
+                          kepler_iters=kepler_iters)
+
+
+def default_engine() -> str:
+    """'pallas' on TPU backends, 'xla' elsewhere (Pallas TPU kernels
+    cannot run on CPU outside interpret mode)."""
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+@partial(jax.jit,
+         static_argnames=("grav", "output", "want_vel", "kepler_iters",
+                          "engine"))
 def _propagate_fast_shallow(els: Sgp4Elements, tsince, jd_sum,
-                            grav: GravityModel, output: str, want_vel: bool):
-    r, v, err = propagate_fast(els, None, tsince, grav)
+                            grav: GravityModel, output: str, want_vel: bool,
+                            kepler_iters: int = 8, engine: str = "xla"):
+    r, v, err = _shallow_engine(els, tsince, grav, kepler_iters, engine)
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
-@partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
+@partial(jax.jit,
+         static_argnames=("grav", "output", "want_vel", "kepler_iters",
+                          "engine"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 deep_sub: DeepElements, deep_idx, tsince,
                                 tsince_deep, jd_sum, grav: GravityModel,
-                                output: str, want_vel: bool):
+                                output: str, want_vel: bool,
+                                kepler_iters: int = 8, engine: str = "xla"):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the (static) deep subset, scattered
     back into the full grid."""
-    r, v, err = propagate_fast(els, None, tsince, grav)
+    r, v, err = _shallow_engine(els, tsince, grav, kepler_iters, engine)
     r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep, grav)
     r = r.at[:, deep_idx, :].set(r_d)
     v = v.at[:, deep_idx, :].set(v_d)
@@ -306,15 +342,17 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
     jd_sum = (jd + fr)[:, None]
 
     if method == "fast":
+        engine = default_engine()
         if not cat.has_deep:
             r, v, err = _propagate_fast_shallow(
-                cat.els, tsince, jd_sum, cat.grav, output, velocities)
+                cat.els, tsince, jd_sum, cat.grav, output, velocities,
+                cat.kepler_iters, engine)
         else:
             tsince_deep = tsince[:, cat.deep_idx]
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
                 jnp.asarray(cat.deep_idx), tsince, tsince_deep, jd_sum,
-                cat.grav, output, velocities)
+                cat.grav, output, velocities, cat.kepler_iters, engine)
     elif not cat.has_deep:
         r, v, err = _propagate_shallow(cat.els, tsince, jd_sum, cat.grav,
                                        output, velocities)

@@ -57,7 +57,10 @@ def main():
     from astroz_tpu.propagation import (_propagate_fast_partitioned,
                                         _propagate_fast_shallow)
 
+    from astroz_tpu.propagation import default_engine
+
     cat = synthetic_catalog(N_SATS)
+    engine = default_engine()
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
     deep_idx = jnp.asarray(cat.deep_idx) if cat.deep is not None else None
@@ -67,10 +70,11 @@ def main():
         js = jnp.asarray(jd_sum[t0:t1])[:, None]
         if cat.deep is None:
             return _propagate_fast_shallow(cat.els, ts, js, cat.grav,
-                                           "teme", True)
+                                           "teme", True,
+                                           cat.kepler_iters, engine)
         return _propagate_fast_partitioned(
             cat.els, cat.els_deep, cat.deep_sub, deep_idx, ts,
-            ts, js, cat.grav, "teme", True)
+            ts, js, cat.grav, "teme", True, cat.kepler_iters, engine)
 
     def sweep():
         outs = []

@@ -106,3 +106,90 @@ def test_fast_golden_trajectory_within_100m():
         assert d < 0.1, f"t={TRAJ_REF[i][0]}: {d*1e3:.1f} m"
         dv = np.linalg.norm(np.asarray(v[i, 0], np.float64) - v_ref)
         assert dv < 1e-4
+
+
+def test_kepler_fast_5_iters_low_ecc():
+    """5 Newton iterations converge below ~1e-6 rad for e <= 0.35 —
+    the shallow-catalog static trip count."""
+    e = np.linspace(0.0, 0.35, 40)
+    u = np.linspace(0.0, 2 * np.pi, 97)
+    ee, uu = np.meshgrid(e, u)
+    axnl = jnp.asarray(ee * np.cos(0.7), jnp.float32)
+    aynl = jnp.asarray(ee * np.sin(0.7), jnp.float32)
+    eo1, s, c = jax.jit(lambda u_, a, b: solve_kepler_fast(u_, a, b, 5))(
+        jnp.asarray(uu, jnp.float32), axnl, aynl)
+    res = (np.asarray(uu, np.float64)
+           - np.asarray(aynl, np.float64) * np.asarray(c, np.float64)
+           + np.asarray(axnl, np.float64) * np.asarray(s, np.float64)
+           - np.asarray(eo1, np.float64))
+    res = (res + np.pi) % (2 * np.pi) - np.pi
+    assert np.abs(res).max() < 2e-6
+
+
+def test_df32_spine_matches_f64():
+    """Double-f32 (Dekker) spine vs f64 spine: Kepler argument within
+    ~3e-7 rad over +-1440 min (the precision-critical chain); tolerant
+    angles within their documented budgets."""
+    from astroz_tpu.ops.fast import spine_df32, spine_df32_fields, spine_f64
+    from astroz_tpu.ops.fastmath import split_f64
+
+    cat = build_catalog("\n".join([ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2]))
+    t = jnp.linspace(-1440, 1440, 97, dtype=jnp.float64)[:, None]
+    th, tl = split_f64(jnp.broadcast_to(t, (97, 2)))
+    sf = spine_df32_fields(cat.els)
+    s32 = jax.jit(lambda a, b: spine_df32(a, b, **sf))(th, tl)
+    s64 = spine_f64(cat.els, t)
+    budgets = [0.0, 5e-7, 5e-5, 1e-6, 1e-6, 5e-5]  # t,u,mm,argp,node,xmdf
+    for a, b, tol in zip(s32, s64, budgets):
+        d = np.asarray(a, np.float64) - np.asarray(b, np.float64)
+        d = np.abs((d + np.pi) % (2 * np.pi) - np.pi).max()
+        assert d <= max(tol, 1e-12), (d, tol)
+
+
+def test_fused_tail_df32_spine_end_to_end():
+    """spine_df32 + shallow_tail_f32 (the Pallas kernel body, run here
+    through XLA) vs the f64 reference path: < 30 m over +-1440 min and
+    < 50 m over +-10 days."""
+    from astroz_tpu.ops.fast import (_shallow_f32_fields, shallow_tail_f32,
+                                     spine_df32, spine_df32_fields)
+    from astroz_tpu.ops.fastmath import split_f64
+
+    cat = build_catalog("\n".join([ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2]))
+    sf = spine_df32_fields(cat.els)
+    tf = _shallow_f32_fields(cat.els)
+
+    @jax.jit
+    def run(th, tl):
+        spine = spine_df32(th, tl, **sf)
+        return shallow_tail_f32(cat.grav, 8, *spine, **tf)
+
+    for tmax, tol_m in ((1440.0, 30.0), (14400.0, 50.0)):
+        t = jnp.linspace(-tmax, tmax, 49, dtype=jnp.float64)[:, None]
+        th, tl = split_f64(jnp.broadcast_to(t, (49, 2)))
+        outs = run(th, tl)
+        r32 = np.stack([np.asarray(o, np.float64) for o in outs[:3]],
+                       axis=-1)
+        r64, _, e64 = sgp4_propagate(cat.els, t, cat.grav)
+        np.testing.assert_array_equal(np.asarray(e64),
+                                      np.asarray(outs[6]))
+        dr = np.linalg.norm(np.asarray(r64) - r32, axis=-1).max()
+        assert dr * 1e3 < tol_m, f"{dr*1e3:.1f} m at tmax={tmax}"
+
+
+def test_pallas_kernel_interpret_matches_xla():
+    """The Pallas engine (interpret mode on CPU) vs the XLA fast path —
+    same kernel body, so agreement is f32-rounding-level."""
+    from astroz_tpu.ops.pallas_sgp4 import (propagate_fast_pallas,
+                                            propagate_fast_pallas_fused)
+
+    cat = build_catalog("\n".join([ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2]))
+    t = jnp.linspace(0.0, 1440.0, 8, dtype=jnp.float64)[:, None]
+    r1, v1, e1 = propagate_fast(cat.els, None, t, cat.grav,
+                                kepler_iters=5)
+    for fn in (propagate_fast_pallas, propagate_fast_pallas_fused):
+        r2, v2, e2 = fn(cat.els, t, cat.grav, kepler_iters=5,
+                        time_block=8, sat_block=128, interpret=True)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+        dr = np.abs(np.asarray(r1, np.float64)
+                    - np.asarray(r2, np.float64)).max()
+        assert dr < 0.05, f"{fn.__name__}: {dr} km"
