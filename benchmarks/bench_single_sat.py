@@ -1,0 +1,99 @@
+"""Single-satellite time-grid benchmark.
+
+Scenario-for-scenario port of the reference's benchmark grid
+(benchmarks/zig_sgp4_bench.zig:30-52, identical grids in its
+python/rust/jax variants): one ISS TLE propagated over 1 day / 1 week /
+2 weeks / 1 month at 1-minute steps and 2 weeks / 1 month / 3 months /
+1 year at 1-second steps (up to 31.5M points).
+
+Usage: python benchmarks/bench_single_sat.py [--f64] [--quick]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+ISS_L1 = "1 25544U 98067A   24001.50000000  .00016717  00000-0  10270-3 0  9993"
+ISS_L2 = "2 25544  51.6400 200.0000 0001234  90.0000 270.0000 15.50000000000017"
+
+SCENARIOS = [
+    ("1day_1min", 1440, 60.0),
+    ("1week_1min", 10080, 60.0),
+    ("2weeks_1min", 20160, 60.0),
+    ("1month_1min", 43200, 60.0),
+    ("2weeks_1s", 1209600, 1.0),
+    ("1month_1s", 2592000, 1.0),
+    ("3months_1s", 7776000, 1.0),
+    ("1year_1s", 31536000, 1.0),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--f64", action="store_true",
+                    help="benchmark the full-f64 kernel instead of fast")
+    ap.add_argument("--quick", action="store_true",
+                    help="only the 1-minute-step scenarios")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from astroz_tpu import build_catalog
+    from astroz_tpu.ops.fast import propagate_fast
+    from astroz_tpu.ops.sgp4 import sgp4_propagate
+    from astroz_tpu.propagation import default_engine
+
+    cat = build_catalog("\n".join([ISS_L1, ISS_L2]))
+    engine = default_engine()
+    use_pallas = engine == "pallas" and not args.f64
+    if use_pallas:
+        from astroz_tpu.ops.pallas_sgp4 import propagate_fast_pallas_fused
+
+    @jax.jit
+    def run_f64(t):
+        return sgp4_propagate(cat.els, t, cat.grav)
+
+    @jax.jit
+    def run_fast(t):
+        return propagate_fast(cat.els, None, t, cat.grav, kepler_iters=5)
+
+    scenarios = SCENARIOS[:4] if args.quick else SCENARIOS
+    results = {}
+    for name, n_points, step_s in scenarios:
+        chunk = min(n_points, 1 << 21)
+        tmpl = jnp.arange(chunk, dtype=jnp.float64)[:, None] * (step_s / 60.0)
+
+        def sweep():
+            done = 0
+            outs = []
+            while done < n_points:
+                n = min(chunk, n_points - done)
+                t = tmpl[:n] + done * (step_s / 60.0)
+                if use_pallas:
+                    outs.append(propagate_fast_pallas_fused(
+                        cat.els, t, cat.grav, kepler_iters=5))
+                elif args.f64:
+                    outs.append(run_f64(t))
+                else:
+                    outs.append(run_fast(t))
+                done += n
+            jax.block_until_ready(outs[-1][0])
+
+        sweep()  # compile + warm
+        reps = 3 if n_points <= 1 << 21 else 1
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            sweep()
+        dt = (time.perf_counter() - t0) / reps
+        results[name] = n_points / dt
+        print(f"{name:12s} {n_points:>9d} pts  "
+              f"{n_points/dt/1e6:8.1f} M props/s", flush=True)
+
+    print(json.dumps({k: round(v, 1) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
