@@ -9,7 +9,7 @@ ring all-gather only where screening needs all-vs-all positions.
 """
 
 from .mesh import (make_mesh, pad_catalog, propagate_sharded,
-                   shard_catalog)
+                   propagate_sharded_fast, shard_catalog)
 
 __all__ = ["make_mesh", "pad_catalog", "shard_catalog",
-           "propagate_sharded"]
+           "propagate_sharded", "propagate_sharded_fast"]

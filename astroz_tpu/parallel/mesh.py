@@ -148,3 +148,91 @@ def propagate_sharded(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     if v is not None:
         v = v[:n_times, :n_real]
     return r, v, err
+
+
+def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
+                           output: str = "teme", velocities: bool = True,
+                           engine: Optional[str] = None):
+    """Dense-grid propagate via ``shard_map``: each device runs the
+    split-precision fast kernel on its satellite shard.
+
+    Mixed catalogs run the unified masked-dense kernel per shard (deep
+    coefficients travel with their satellites), so the program is
+    uniform SPMD with zero collectives — the multi-chip shape of the
+    reference's batch-range threading (Constellation.zig:360-382).
+    ``engine`` selects the per-shard kernel ('pallas' on TPU when
+    available, 'xla' otherwise).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.fast import propagate_fast
+    from ..propagation import _finalize, default_engine
+
+    if engine is None:
+        engine = default_engine()
+
+    dt = cat.els.epoch_jd.dtype
+    jd = jnp.atleast_1d(jnp.asarray(jd, dt))
+    if fr is None:
+        fr = jnp.zeros_like(jd)
+    fr = jnp.broadcast_to(jnp.asarray(fr, dt), jd.shape)
+
+    time_size = mesh.shape["time"]
+    n_times = jd.shape[0]
+    tpad = _pad_count(n_times, time_size)
+    if tpad:
+        jd = jnp.concatenate([jd, jnp.broadcast_to(jd[-1:], (tpad,))])
+        fr = jnp.concatenate([fr, jnp.broadcast_to(fr[-1:], (tpad,))])
+
+    scat, n_real = pad_catalog(cat, mesh.shape["sat"])
+    grav = scat.grav
+    kepler_iters = scat.kepler_iters
+
+    tsince = ((jd[:, None] - scat.els.epoch_jd[None, :])
+              + fr[:, None]) * MINUTES_PER_DAY
+    jd_sum = (jd + fr)[:, None]
+
+    sat_spec = P("sat")
+    grid_spec = P("time", "sat")
+    time_spec = P("time", None)
+
+    els_specs = jax.tree_util.tree_map(lambda _: sat_spec, scat.els)
+    if scat.deep is not None:
+        deep_specs = jax.tree_util.tree_map(lambda _: sat_spec, scat.deep)
+
+        def shard_fn(els, deep, ts, js):
+            # mixed shards run the unified masked-dense kernel (the
+            # Pallas engine covers the near-earth tail only)
+            r, v, err = propagate_fast(els, deep, ts, grav,
+                                       kepler_iters=8)
+            return _finalize(r, v, err, js, output, True)
+
+        fn = shard_map(shard_fn, mesh=mesh,
+                       in_specs=(els_specs, deep_specs, grid_spec,
+                                 time_spec),
+                       out_specs=(grid_spec, grid_spec, grid_spec),
+                       check_rep=False)
+        r, v, err = jax.jit(fn)(scat.els, scat.deep, tsince, jd_sum)
+    else:
+        def shard_fn(els, ts, js):
+            if engine == "pallas":
+                from ..ops.pallas_sgp4 import propagate_fast_pallas_fused
+                r, v, err = propagate_fast_pallas_fused(
+                    els, ts, grav, kepler_iters=kepler_iters)
+            else:
+                r, v, err = propagate_fast(els, None, ts, grav,
+                                           kepler_iters=kepler_iters)
+            return _finalize(r, v, err, js, output, True)
+
+        fn = shard_map(shard_fn, mesh=mesh,
+                       in_specs=(els_specs, grid_spec, time_spec),
+                       out_specs=(grid_spec, grid_spec, grid_spec),
+                       check_rep=False)
+        r, v, err = jax.jit(fn)(scat.els, tsince, jd_sum)
+
+    r = r[:n_times, :n_real]
+    err = err[:n_times, :n_real]
+    v = v[:n_times, :n_real]
+    if not velocities:
+        v = None
+    return r, v, err

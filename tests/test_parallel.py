@@ -52,3 +52,36 @@ def test_sharded_ecef(cat):
     r_ref, _, _ = propagate(cat, jd, output="ecef")
     r, _, _ = propagate_sharded(cat, jd, mesh=mesh, output="ecef")
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-9)
+
+
+def test_shard_map_fast_matches_single_device(cat):
+    from astroz_tpu.parallel import propagate_sharded_fast
+    mesh = make_mesh()
+    epoch = cat.epochs_jd[0]
+    jd = epoch + np.linspace(0.0, 1.0, 7)
+    r_ref, v_ref, e_ref = propagate(cat, jd, method="fast")
+    r, v, e = propagate_sharded_fast(cat, jd, mesh=mesh, engine="xla")
+    assert r.shape == r_ref.shape
+    dr = np.linalg.norm(np.asarray(r, np.float64)
+                        - np.asarray(r_ref, np.float64), axis=-1)
+    # partitioned (ref) vs unified (sharded) fast paths: same physics,
+    # different f32 op order
+    assert dr.max() < 0.05
+    np.testing.assert_array_equal(np.asarray(e), np.asarray(e_ref))
+
+
+def test_shard_map_fast_pure_leo(cat):
+    from astroz_tpu import build_catalog
+    from astroz_tpu.parallel import propagate_sharded_fast
+    from test_sgp4 import ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2
+    leo = build_catalog("\n".join([ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2]))
+    mesh = make_mesh()
+    epoch = leo.epochs_jd[0]
+    jd = epoch + np.linspace(0.0, 0.5, 8)
+    r_ref, _, e_ref = propagate(leo, jd, method="fast")
+    r, v, e = propagate_sharded_fast(leo, jd, mesh=mesh, engine="xla")
+    dr = np.linalg.norm(np.asarray(r, np.float64)
+                        - np.asarray(r_ref, np.float64), axis=-1)
+    # same kernel; XLA fuses differently per shard shape, so
+    # expect f32-rounding-order differences only
+    assert dr.max() < 0.005
