@@ -8,10 +8,13 @@ Usage: python benchmarks/bench_screening.py [n_sats] [n_times]
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

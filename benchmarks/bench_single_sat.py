@@ -11,9 +11,13 @@ Usage: python benchmarks/bench_single_sat.py [--f64] [--quick]
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ISS_L1 = "1 25544U 98067A   24001.50000000  .00016717  00000-0  10270-3 0  9993"
 ISS_L2 = "2 25544  51.6400 200.0000 0001234  90.0000 270.0000 15.50000000000017"
@@ -52,29 +56,40 @@ def main():
     if use_pallas:
         from astroz_tpu.ops.pallas_sgp4 import propagate_fast_pallas_fused
 
-    @jax.jit
-    def run_f64(t):
-        return sgp4_propagate(cat.els, t, cat.grav)
+    # time-as-lanes layout: a single satellite fills the whole VPU by
+    # folding the time axis into both grid dimensions (the reference's
+    # 1-sat x 8-times propagateN, Sgp4.zig:753, scaled to TPU width)
+    LANES = 1024
+    els1 = cat.els
+    els_w = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (LANES,) + x.shape[1:])
+        if getattr(x, "ndim", 0) else x, els1)
 
     @jax.jit
-    def run_fast(t):
-        return propagate_fast(cat.els, None, t, cat.grav, kepler_iters=5)
+    def run_f64(t2d):
+        return sgp4_propagate(els_w, t2d, cat.grav)
+
+    @jax.jit
+    def run_fast(t2d):
+        return propagate_fast(els_w, None, t2d, cat.grav, kepler_iters=5)
 
     scenarios = SCENARIOS[:4] if args.quick else SCENARIOS
     results = {}
     for name, n_points, step_s in scenarios:
-        chunk = min(n_points, 1 << 21)
-        tmpl = jnp.arange(chunk, dtype=jnp.float64)[:, None] * (step_s / 60.0)
+        n_pad = n_points + (-n_points) % LANES
+        chunk = min(n_pad, 1 << 22)
+        tmpl = (jnp.arange(chunk, dtype=jnp.float64)
+                .reshape(-1, LANES) * (step_s / 60.0))
 
         def sweep():
             done = 0
             outs = []
-            while done < n_points:
-                n = min(chunk, n_points - done)
-                t = tmpl[:n] + done * (step_s / 60.0)
+            while done < n_pad:
+                n = min(chunk, n_pad - done)
+                t = tmpl[:n // LANES] + done * (step_s / 60.0)
                 if use_pallas:
                     outs.append(propagate_fast_pallas_fused(
-                        cat.els, t, cat.grav, kepler_iters=5))
+                        els_w, t, cat.grav, kepler_iters=5))
                 elif args.f64:
                     outs.append(run_f64(t))
                 else:
