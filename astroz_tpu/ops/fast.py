@@ -394,6 +394,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
                    grav: GravityModel,
                    carry: Optional[ResonanceCarry] = None,
                    kepler_iters: int = 8,
+                   resonance_steps: Optional[int] = None,
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Unified mixed-catalog propagate, split-precision.
 
@@ -465,8 +466,18 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
             atime_ = jnp.where(act, atime_ + delt, atime_)
             return atime_, xli_, xni_
 
-        atime, xli, xni = jax.lax.while_loop(
-            lambda s: jnp.any(active_fn(s[0])), body, (atime, xli, xni))
+        if resonance_steps is not None:
+            # statically unrolled (host knows the time horizon:
+            # ceil(max|t| / 720)) — fuses into one kernel instead of a
+            # while_loop with per-iteration HBM round trips
+            state = (atime, xli, xni)
+            for _ in range(resonance_steps):
+                state = body(state)
+            atime, xli, xni = state
+        else:
+            atime, xli, xni = jax.lax.while_loop(
+                lambda s: jnp.any(active_fn(s[0])), body,
+                (atime, xli, xni))
         xndt, xldot, _ = _resonance_derivs_fast(deep, els, xli, xni,
                                                  atime)
         ft = t - atime

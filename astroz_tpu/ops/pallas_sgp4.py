@@ -232,3 +232,117 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
     r = jnp.stack([rx, ry, rz], axis=-1)
     v = jnp.stack([vx, vy, vz], axis=-1)
     return r, v, err
+
+
+# ---------------------------------------------------------------------------
+# Separable-time variant: tsince = t_time[t] - t_sat[s], split in-kernel
+# ---------------------------------------------------------------------------
+
+from .fastmath import df_add
+
+
+def _kernel_fused_sep(grav, kepler_iters, ah_ref, al_ref, fields_ref,
+                      simp_ref, err0_ref, rx_ref, ry_ref, rz_ref, vx_ref,
+                      vy_ref, vz_ref, err_ref):
+    sf = {name: fields_ref[i, :] for i, name in
+          enumerate(SPINE_FIELD_NAMES)}
+    off = len(SPINE_FIELD_NAMES)
+    f = {name: fields_ref[off + i, :] for i, name in
+         enumerate(_FIELD_NAMES)}
+    nf = off + len(_FIELD_NAMES)
+    bh = fields_ref[nf, :]      # per-sat epoch minutes (hi, lo)
+    bl = fields_ref[nf + 1, :]
+    f["not_simp"] = simp_ref[0, :] == 0
+    f["error0"] = err0_ref[0, :]
+    # tsince = t_time - t_sat in double-f32, built in VMEM from the
+    # (time_block, 1) and (sat_block,) factors — no (T, S) f64 grid
+    # ever exists in HBM
+    th, tl = df_add(ah_ref[:], al_ref[:], -bh, -bl)
+    spine = spine_df32(th, tl, **sf)
+    rx, ry, rz, vx, vy, vz, err = shallow_tail_f32(
+        grav, kepler_iters, *spine, **f)
+    rx_ref[:] = rx
+    ry_ref[:] = ry
+    rz_ref[:] = rz
+    vx_ref[:] = vx
+    vy_ref[:] = vy
+    vz_ref[:] = vz
+    err_ref[:] = err
+
+
+@functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
+                                             "time_block", "sat_block",
+                                             "interpret"))
+def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
+                              grav: GravityModel, kepler_iters: int = 5,
+                              time_block: int = TIME_BLOCK,
+                              sat_block: int = SAT_BLOCK,
+                              interpret: bool = False
+                              ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused Pallas propagate with a separable time grid:
+    ``tsince[t, s] = t_time[t] - t_sat[s]`` (minutes). Used by the
+    catalog layer where ``t_time = (jd + fr) * 1440`` and ``t_sat =
+    epoch_jd * 1440`` — the per-lane epoch subtraction happens in
+    double-f32 inside the kernel, so the XLA prologue is O(T + S)."""
+    t_time = jnp.asarray(t_time)
+    t_sat = jnp.asarray(t_sat)
+    n_times = t_time.shape[0]
+    n_sats = els.no_kozai.shape[0]
+    # rebase to the first epoch so the split pairs carry tsince-scale
+    # magnitudes (~1e3 min), not JD-scale (~3.5e9 min where a double-f32
+    # pair only resolves ~1e-5 min)
+    ref = jnp.min(t_sat)
+    ah, al = split_f64((t_time - ref).reshape(-1, 1))
+    bh, bl = split_f64(t_sat - ref)
+
+    fdict = dict(spine_df32_fields(els))
+    fdict.update(_shallow_f32_fields(els))
+    fields = jnp.stack([fdict[n] for n in _ALL_FIELDS] + [bh, bl])
+    simp = (~fdict["not_simp"]).astype(jnp.int32)[None, :]
+    err0 = fdict["error0"].astype(jnp.int32)[None, :]
+
+    tp = (-n_times) % time_block
+    sp = (-n_sats) % sat_block
+    if tp:
+        ah = jnp.pad(ah, ((0, tp), (0, 0)))
+        al = jnp.pad(al, ((0, tp), (0, 0)))
+    if sp:
+        fields = jnp.pad(fields, ((0, 0), (0, sp)), constant_values=0.5)
+        simp = jnp.pad(simp, ((0, 0), (0, sp)), constant_values=1)
+        err0 = jnp.pad(err0, ((0, 0), (0, sp)))
+    tt, ss = n_times + tp, n_sats + sp
+
+    def col_map(i, j):
+        return (i - i, j)
+
+    def time_map(i, j):
+        return (i, j - j)
+
+    grid_spec = pl.GridSpec(
+        grid=(tt // time_block, ss // sat_block),
+        in_specs=[pl.BlockSpec((time_block, 1), time_map,
+                               memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec((len(_ALL_FIELDS) + 2, sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((time_block, sat_block),
+                                lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 7,
+    )
+    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    with no_barriers():
+        outs = pl.pallas_call(
+            functools.partial(_kernel_fused_sep, grav, kepler_iters),
+            out_shape=[shape_f] * 6 + [shape_i],
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(ah, al, fields, simp, err0)
+
+    rx, ry, rz, vx, vy, vz, err = [o[:n_times, :n_sats] for o in outs]
+    r = jnp.stack([rx, ry, rz], axis=-1)
+    v = jnp.stack([vx, vy, vz], axis=-1)
+    return r, v, err

@@ -224,13 +224,15 @@ def _propagate_mixed(els: Sgp4Elements, deep: DeepElements, tsince, jd_sum,
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
-def _shallow_engine(els, tsince, grav, kepler_iters, engine):
+def _shallow_engine(els, t_time, t_sat, grav, kepler_iters, engine):
     """Run the shallow fast kernel on the chosen engine: the fused
-    Pallas kernel on TPU ('pallas') or the XLA elementwise graph."""
+    Pallas kernel on TPU ('pallas') or the XLA elementwise graph.
+    The time grid is separable: tsince = t_time[:, None] - t_sat."""
     if engine == "pallas":
-        from .ops.pallas_sgp4 import propagate_fast_pallas_fused
-        return propagate_fast_pallas_fused(els, tsince, grav,
-                                           kepler_iters=kepler_iters)
+        from .ops.pallas_sgp4 import propagate_fast_pallas_sep
+        return propagate_fast_pallas_sep(els, t_time, t_sat, grav,
+                                         kepler_iters=kepler_iters)
+    tsince = t_time[:, None] - t_sat[None, :]
     return propagate_fast(els, None, tsince, grav,
                           kepler_iters=kepler_iters)
 
@@ -247,26 +249,32 @@ def default_engine() -> str:
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "engine"))
-def _propagate_fast_shallow(els: Sgp4Elements, tsince, jd_sum,
+def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
                             grav: GravityModel, output: str, want_vel: bool,
                             kepler_iters: int = 8, engine: str = "xla"):
-    r, v, err = _shallow_engine(els, tsince, grav, kepler_iters, engine)
+    r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
+                                engine)
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
-                          "engine"))
+                          "engine", "resonance_steps"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
-                                deep_sub: DeepElements, deep_idx, tsince,
-                                tsince_deep, jd_sum, grav: GravityModel,
+                                deep_sub: DeepElements, deep_idx, t_time,
+                                t_sat, t_sat_deep, jd_sum,
+                                grav: GravityModel,
                                 output: str, want_vel: bool,
-                                kepler_iters: int = 8, engine: str = "xla"):
+                                kepler_iters: int = 8, engine: str = "xla",
+                                resonance_steps=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the (static) deep subset, scattered
     back into the full grid."""
-    r, v, err = _shallow_engine(els, tsince, grav, kepler_iters, engine)
-    r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep, grav)
+    r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
+                                engine)
+    tsince_deep = t_time[:, None] - t_sat_deep[None, :]
+    r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep, grav,
+                                     resonance_steps=resonance_steps)
     r = r.at[:, deep_idx, :].set(r_d)
     v = v.at[:, deep_idx, :].set(v_d)
     err = err.at[:, deep_idx].set(err_d)
@@ -343,16 +351,32 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
 
     if method == "fast":
         engine = default_engine()
+        ref = cat.epochs_jd.min()
+        t_time = ((jd - ref) + fr) * MINUTES_PER_DAY
+        t_sat = (cat.els.epoch_jd - ref) * MINUTES_PER_DAY
         if not cat.has_deep:
             r, v, err = _propagate_fast_shallow(
-                cat.els, tsince, jd_sum, cat.grav, output, velocities,
-                cat.kepler_iters, engine)
+                cat.els, t_time, t_sat, jd_sum, cat.grav, output,
+                velocities, cat.kepler_iters, engine)
         else:
-            tsince_deep = tsince[:, cat.deep_idx]
+            # static resonance trip count from the host-known horizon
+            # (vs the DEEP satellites' own epochs — resonance integrates
+            # from each epoch), rounded up to a power of two to bound
+            # recompilation
+            jd_sum_h = np.asarray(jd) + np.asarray(fr)
+            ep_deep = np.asarray(cat.els_deep.epoch_jd)
+            tmax = float(max(abs(jd_sum_h.max() - ep_deep.min()),
+                             abs(jd_sum_h.min() - ep_deep.max()))
+                         * MINUTES_PER_DAY)
+            steps = max(2, int(2 ** np.ceil(np.log2(
+                max(tmax / 720.0, 1.0) + 1.0))))
+            steps = steps if steps <= 64 else None  # long spans: while_loop
+            t_sat_deep = (cat.els_deep.epoch_jd - ref) * MINUTES_PER_DAY
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
-                jnp.asarray(cat.deep_idx), tsince, tsince_deep, jd_sum,
-                cat.grav, output, velocities, cat.kepler_iters, engine)
+                jnp.asarray(cat.deep_idx), t_time, t_sat, t_sat_deep,
+                jd_sum, cat.grav, output, velocities, cat.kepler_iters,
+                engine, steps)
     elif not cat.has_deep:
         r, v, err = _propagate_shallow(cat.els, tsince, jd_sum, cat.grav,
                                        output, velocities)

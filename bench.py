@@ -64,45 +64,52 @@ def main():
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
     deep_idx = jnp.asarray(cat.deep_idx) if cat.deep is not None else None
+    ref = cat.epochs_jd.min()
+    t_sat = jnp.asarray((cat.epochs_jd - ref) * 1440.0)
+    t_sat_deep = (jnp.asarray((np.asarray(cat.els_deep.epoch_jd)
+                               - ref) * 1440.0)
+                  if cat.deep is not None else None)
 
-    # stage the (tiny) time arrays on device once — the tunnel-attached
-    # dev chip pays ~10 ms per h2d round trip, which is measurement
-    # noise, not propagator throughput
+    # stage the (tiny) time arrays on device once
     chunks = []
     for t0 in range(0, N_TIMES, TIME_CHUNK):
         t1 = min(t0 + TIME_CHUNK, N_TIMES)
-        ts = jnp.asarray(tsince_all[t0:t1])[:, None]
+        ts = jnp.asarray(tsince_all[t0:t1])
         js = jnp.asarray(jd_sum[t0:t1])[:, None]
         chunks.append((jax.device_put(ts), jax.device_put(js)))
 
     def run_chunk(ts, js):
         if cat.deep is None:
-            return _propagate_fast_shallow(cat.els, ts, js, cat.grav,
-                                           "teme", True,
+            return _propagate_fast_shallow(cat.els, ts, t_sat, js,
+                                           cat.grav, "teme", True,
                                            cat.kepler_iters, engine)
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, deep_idx, ts,
-            ts, js, cat.grav, "teme", True, cat.kepler_iters, engine)
+            cat.els, cat.els_deep, cat.deep_sub, deep_idx, ts, t_sat,
+            t_sat_deep, js, cat.grav, "teme", True, cat.kepler_iters,
+            engine, 4)
 
-    def sweep():
-        outs = [run_chunk(ts, js) for ts, js in chunks]
+    def fetch(outs):
+        # force real completion: on tunnel-attached dev chips
+        # block_until_ready can return before remote execution
+        # finishes, so fetch one element from every program's output
         for r, v, e in outs:
-            jax.block_until_ready(r)
-        return outs
+            np.asarray(r[:1, :1, :1])
 
-    sweep()  # warmup / compile
-    n_rep = 3
-    start = time.perf_counter()
-    outs = []
-    for _ in range(n_rep):
-        # dispatch all reps asynchronously; block once at the end so
-        # the fixed per-dispatch latency of a tunnel-attached dev chip
-        # pipelines away (real deployments launch back-to-back too)
-        outs.append([run_chunk(ts, js) for ts, js in chunks])
-    for rep in outs:
-        for r, v, e in rep:
-            jax.block_until_ready(r)
-    elapsed = (time.perf_counter() - start) / n_rep
+    fetch([run_chunk(ts, js) for ts, js in chunks])  # warmup / compile
+
+    # slope method: wall(K) = fixed_overhead + K * t_exec, so the
+    # difference of two run lengths isolates true per-sweep time
+    def run_reps(k):
+        t0 = time.perf_counter()
+        outs = []
+        for _ in range(k):
+            outs.extend(run_chunk(ts, js) for ts, js in chunks)
+        fetch(outs)
+        return time.perf_counter() - t0
+
+    t_small = run_reps(2)
+    t_big = run_reps(6)
+    elapsed = (t_big - t_small) / 4
 
     props = N_SATS * N_TIMES
     props_per_s = props / elapsed
