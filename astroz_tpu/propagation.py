@@ -305,7 +305,8 @@ def _propagate_mixed_scan(els: Sgp4Elements, deep: DeepElements, tsince,
 
 def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
               velocities: bool = True, layout: str = "time_major",
-              scan_times: bool = False, method: str = "f64"):
+              scan_times: bool = False, method: str = "f64",
+              satellite_mask=None):
     """Propagate every satellite to every epoch.
 
     Args:
@@ -326,6 +327,10 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         ``"fast"`` for the split-precision kernel (f64 angle spine +
         f32 tail, ~25 m worst case vs f64 over +-1440 min, ~15x faster
         on TPU; outputs are f32). See :mod:`astroz_tpu.ops.fast`.
+      satellite_mask: optional boolean array (n_sats,) — masked-out
+        satellites come back zero-filled with error code -1 (the
+        reference's per-satellite visibility mask,
+        sgp4.zig propagate_into satellite_mask).
 
     Returns:
       ``(r, v, error)``; ``v`` is None when ``velocities=False``;
@@ -386,6 +391,13 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
     else:
         r, v, err = _propagate_mixed(cat.els, cat.deep, tsince, jd_sum,
                                      cat.grav, output, velocities)
+
+    if satellite_mask is not None:
+        m = jnp.asarray(satellite_mask, bool)[None, :]
+        r = jnp.where(m[..., None], r, 0.0)
+        if v is not None:
+            v = jnp.where(m[..., None], v, 0.0)
+        err = jnp.where(m, err, -1)
 
     if layout == "sat_major":
         r = jnp.swapaxes(r, 0, 1)

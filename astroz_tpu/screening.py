@@ -90,6 +90,36 @@ def screen_target(cat: SatCatalog, target: Union[str, Tle, SatCatalog],
 # ---------------------------------------------------------------------------
 
 
+def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
+    """Multi-chip coarse pass: the time axis is sharded over all mesh
+    devices; each device reduces min-over-its-times, then one
+    ``lax.pmin`` collective merges shards — the only communication in
+    the whole screen (SURVEY §2.6: all-vs-all needs a cross-device
+    reduction; everything else is embarrassingly parallel)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = mesh.devices.reshape(-1)
+    mesh1 = Mesh(devs, ("scr",))
+    n_dev = len(devs)
+    tpad = (-r.shape[0]) % n_dev
+    if tpad:
+        r = jnp.concatenate(
+            [r, jnp.full((tpad,) + r.shape[1:], _PAD_POS, jnp.float32)])
+        rsq = jnp.concatenate(
+            [rsq, jnp.full((tpad,) + rsq.shape[1:], 3 * _PAD_POS ** 2,
+                           jnp.float32)])
+
+    def fn(r_loc, rsq_loc):
+        dmin = _coarse_block_min(r_loc, rsq_loc, j0, block)
+        return jax.lax.pmin(dmin, "scr")
+
+    out = shard_map(fn, mesh=mesh1,
+                    in_specs=(P("scr"), P("scr")),
+                    out_specs=P(None, None), check_rep=False)
+    return jax.jit(out)(r, rsq)
+
+
 @partial(jax.jit, static_argnames=("block",))
 def _coarse_block_min(r, rsq, j0, block: int):
     """Min-over-time Gram-expansion distances of all sats vs one J block.
@@ -125,12 +155,14 @@ def _refine_pairs(r, ii, jj, pad: int):
 
 def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
                block: int = 2048, method: str = "fast",
-               max_pairs: int = 10_000_000):
+               max_pairs: int = 10_000_000, mesh=None):
     """All-vs-all conjunction screen over the given epochs.
 
     Returns ``(i, j, min_dist_km, t_index)`` numpy arrays for every
     pair with minimum separation below ``threshold_km`` (i < j), capped
-    at ``max_pairs`` (reference cap: conjunction.zig:133).
+    at ``max_pairs`` (reference cap: conjunction.zig:133). Pass a
+    ``jax.sharding.Mesh`` to distribute the coarse pass over all its
+    devices (time-sharded, merged with one pmin collective).
     """
     n = len(cat)
     r = _positions_f32(cat, jd, fr, method)
@@ -149,7 +181,10 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
     cand_i, cand_j = [], []
     n_total = r.shape[1]
     for j0 in range(0, n_total, block):
-        dmin = _coarse_block_min(r, rsq, j0, block)
+        if mesh is not None and mesh.devices.size > 1:
+            dmin = _coarse_block_min_sharded(r, rsq, j0, block, mesh)
+        else:
+            dmin = _coarse_block_min(r, rsq, j0, block)
         ii, jj = np.nonzero(np.asarray(dmin) <= thr2)
         jj = jj + j0
         keep = ii < jj  # dedup + self

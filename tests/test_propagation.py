@@ -168,3 +168,17 @@ def test_fast_method_pure_leo():
     dr = np.linalg.norm(np.asarray(r64) - np.asarray(r32, np.float64),
                         axis=-1)
     assert dr.max() < 0.02
+
+
+def test_satellite_mask(mixed_cat):
+    """Masked satellites zero-filled with error -1 (reference:
+    satellite_mask in sgp4.zig propagate_into)."""
+    epoch = mixed_cat.epochs_jd[0]
+    mask = np.array([True, False, True, False, True])
+    r, v, err = propagate(mixed_cat, np.array([epoch, epoch + 0.1]),
+                          satellite_mask=mask)
+    e = np.asarray(err)
+    assert np.all(e[:, ~mask] == -1)
+    assert np.all(np.asarray(r)[:, ~mask] == 0.0)
+    assert np.all(e[:, mask] == 0)
+    assert np.all(np.abs(np.asarray(r)[:, mask]).sum(axis=-1) > 0)

@@ -108,3 +108,19 @@ def test_screen_all_mixed_catalog():
     # no assertion on count, just sane outputs
     assert sd.dtype == np.float64
     assert np.all(si < sj)
+
+
+def test_screen_all_sharded_matches_single(shell_cat, times):
+    """Multi-device coarse pass (time-sharded + pmin) must reproduce
+    the single-device screen exactly."""
+    import jax
+    from astroz_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    thr = 50.0
+    si, sj, sd, st = screen_all(shell_cat, times, threshold_km=thr,
+                                block=64)
+    mi, mj, md, mt = screen_all(shell_cat, times, threshold_km=thr,
+                                block=64, mesh=mesh)
+    np.testing.assert_array_equal(si, mi)
+    np.testing.assert_array_equal(sj, mj)
+    np.testing.assert_allclose(sd, md, atol=1e-9)
