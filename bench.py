@@ -91,9 +91,11 @@ def main():
     def fetch(outs):
         # force real completion: on tunnel-attached dev chips
         # block_until_ready can return before remote execution
-        # finishes, so fetch one element from every program's output
-        for r, v, e in outs:
-            np.asarray(r[:1, :1, :1])
+        # finishes. The device executes dispatched programs in order,
+        # so fetching one element of the LAST output forces the whole
+        # chain while paying the fetch round trip once.
+        r, v, e = outs[-1]
+        np.asarray(r[:1, :1, :1])
 
     fetch([run_chunk(ts, js) for ts, js in chunks])  # warmup / compile
 
