@@ -95,14 +95,20 @@ def main():
                 else:
                     outs.append(run_fast(t))
                 done += n
-            jax.block_until_ready(outs[-1][0])
+            # fetch forces completion (block_until_ready can return
+            # early on tunnel-attached chips)
+            np.asarray(outs[-1][0][:1, :1])
 
         sweep()  # compile + warm
-        reps = 3 if n_points <= 1 << 21 else 1
+        # slope method cancels fixed dispatch/fetch overhead
         t0 = time.perf_counter()
-        for _ in range(reps):
+        sweep()
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
             sweep()
-        dt = (time.perf_counter() - t0) / reps
+        t_three = time.perf_counter() - t0
+        dt = max((t_three - t_one) / 2, 1e-9)
         results[name] = n_points / dt
         print(f"{name:12s} {n_points:>9d} pts  "
               f"{n_points/dt/1e6:8.1f} M props/s", flush=True)
