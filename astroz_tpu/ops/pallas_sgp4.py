@@ -127,9 +127,11 @@ def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
         interpret=interpret,
     )(*grids, fields, simp, err0)
 
-    rx, ry, rz, vx, vy, vz, err = [o[:n_times, :n_sats] for o in outs]
-    r = jnp.stack([rx, ry, rz], axis=-1)
-    v = jnp.stack([vx, vy, vz], axis=-1)
+    # stack-then-trim in one expression so XLA fuses the pad-trim
+    # slice into the stack instead of copying each plane twice
+    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
+    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
+    err = outs[6][:n_times, :n_sats]
     return r, v, err
 
 
@@ -228,9 +230,11 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
             interpret=interpret,
         )(th, tl, fields, simp, err0)
 
-    rx, ry, rz, vx, vy, vz, err = [o[:n_times, :n_sats] for o in outs]
-    r = jnp.stack([rx, ry, rz], axis=-1)
-    v = jnp.stack([vx, vy, vz], axis=-1)
+    # stack-then-trim in one expression so XLA fuses the pad-trim
+    # slice into the stack instead of copying each plane twice
+    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
+    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
+    err = outs[6][:n_times, :n_sats]
     return r, v, err
 
 
@@ -342,7 +346,9 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
             interpret=interpret,
         )(ah, al, fields, simp, err0)
 
-    rx, ry, rz, vx, vy, vz, err = [o[:n_times, :n_sats] for o in outs]
-    r = jnp.stack([rx, ry, rz], axis=-1)
-    v = jnp.stack([vx, vy, vz], axis=-1)
+    # stack-then-trim in one expression so XLA fuses the pad-trim
+    # slice into the stack instead of copying each plane twice
+    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
+    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
+    err = outs[6][:n_times, :n_sats]
     return r, v, err
