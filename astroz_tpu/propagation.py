@@ -43,7 +43,7 @@ from .ops.sdp4 import (DeepElements, ResonanceCarry, fresh_carry, sdp4_init,
                        sdp4_propagate)
 
 #: Output frame names (reference: Constellation.zig OutputMode)
-OUTPUT_MODES = ("teme", "ecef", "geodetic")
+OUTPUT_MODES = ("teme", "ecef", "geodetic", "geodetic_deg")
 #: Output layout names (reference: Constellation.zig Layout)
 LAYOUTS = ("time_major", "sat_major")
 
@@ -207,6 +207,9 @@ def _finalize(r, v, err, jd_sum, output: str, want_vel: bool):
             v = teme_to_ecef(v, gmst)
         if output == "geodetic":
             r = ecef_to_geodetic(r)
+        elif output == "geodetic_deg":
+            from .frames import ecef_to_geodetic_deg
+            r = ecef_to_geodetic_deg(r)
     return (r, v, err) if want_vel else (r, None, err)
 
 

@@ -126,5 +126,20 @@ def main():
     }))
 
 
+def main_with_retry(attempts: int = 3):
+    """The dev-chip tunnel intermittently aborts (FAILED_PRECONDITION /
+    ABORTED) and recovers within a minute or two — retry so one flake
+    doesn't lose the benchmark record."""
+    for k in range(attempts):
+        try:
+            return main()
+        except Exception as exc:  # noqa: BLE001 - tunnel errors vary
+            if k == attempts - 1:
+                raise
+            print(f"# bench attempt {k + 1} failed ({exc}); retrying",
+                  file=sys.stderr)
+            time.sleep(90)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main_with_retry())

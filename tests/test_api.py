@@ -114,3 +114,17 @@ def test_decay_error_code():
     e, r, v = sat.sgp4(sat.jdsatepoch + 1.0, sat.jdsatepochF)
     assert e != 0
     assert r == (0.0, 0.0, 0.0)
+
+
+def test_python_sgp4_attribute_parity():
+    """Attribute list from the reference's compat script
+    (benchmarks/sgp4_compat_test.py:44-58)."""
+    sat = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    for attr in ("satnum", "jdsatepoch", "jdsatepochF", "epochyr",
+                 "epochdays", "ndot", "nddot", "bstar", "inclo", "nodeo",
+                 "ecco", "argpo", "mo", "no_kozai", "no", "a", "alta",
+                 "altp", "error", "t", "method", "operationmode",
+                 "classification", "intldesg", "elnum", "revnum",
+                 "ephtype", "gsto", "mdot", "argpdot", "nodedot"):
+        assert hasattr(sat, attr), attr
+        getattr(sat, attr)

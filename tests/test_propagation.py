@@ -182,3 +182,30 @@ def test_satellite_mask(mixed_cat):
     assert np.all(np.asarray(r)[:, ~mask] == 0.0)
     assert np.all(e[:, mask] == 0)
     assert np.all(np.abs(np.asarray(r)[:, mask]).sum(axis=-1) > 0)
+
+
+def test_geodetic_deg_output(mixed_cat):
+    epoch = mixed_cat.epochs_jd[0]
+    g_rad, _, _ = propagate(mixed_cat, np.array([epoch]),
+                            output="geodetic")
+    g_deg, _, _ = propagate(mixed_cat, np.array([epoch]),
+                            output="geodetic_deg")
+    np.testing.assert_allclose(np.asarray(g_deg[..., 0]),
+                               np.degrees(np.asarray(g_rad[..., 0])),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_deg[..., 2]),
+                               np.asarray(g_rad[..., 2]), atol=1e-9)
+
+
+def test_all_deep_catalog():
+    """Degenerate all-SDP4 constellation (Constellation.zig:875-928)."""
+    cat = build_catalog("\n".join([GPS_L1, GPS_L2, GEO_L1, GEO_L2,
+                                   HEO_L1, HEO_L2]))
+    assert cat.n_deep == len(cat) == 3
+    epoch = cat.epochs_jd[0]
+    for method in ("f64", "fast"):
+        r, v, err = propagate(cat, np.array([epoch, epoch + 0.25]),
+                              method=method)
+        assert np.all(np.asarray(err) == 0)
+        rn = np.linalg.norm(np.asarray(r, np.float64), axis=-1)
+        assert np.all((rn > 6500) & (rn < 50000))
