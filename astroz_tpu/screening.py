@@ -133,8 +133,12 @@ def _coarse_block_min(r, rsq, j0, block: int):
 
     def step(dmin, inputs):
         rt, rsqt, rjt, rjsqt = inputs
-        # (N, B) cross term on the MXU
-        cross = jnp.dot(rt, rjt.T, preferred_element_type=jnp.float32)
+        # K=3 contraction as explicit component products: a (N,3)@(3,B)
+        # matmul would waste the 128x128 MXU (3/128 utilization); three
+        # broadcast multiply-adds keep it on the VPU at full rate
+        cross = (rt[:, 0:1] * rjt[None, :, 0]
+                 + rt[:, 1:2] * rjt[None, :, 1]
+                 + rt[:, 2:3] * rjt[None, :, 2])
         d2 = rsqt[:, None] + rjsqt[None, :] - 2.0 * cross
         return jnp.minimum(dmin, d2), None
 
@@ -185,7 +189,9 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
             dmin = _coarse_block_min_sharded(r, rsq, j0, block, mesh)
         else:
             dmin = _coarse_block_min(r, rsq, j0, block)
-        ii, jj = np.nonzero(np.asarray(dmin) <= thr2)
+        # threshold on device: fetching the boolean mask moves 4x
+        # fewer bytes than the f32 distance matrix
+        ii, jj = np.nonzero(np.asarray(dmin <= thr2))
         jj = jj + j0
         keep = ii < jj  # dedup + self
         cand_i.append(ii[keep])
@@ -201,13 +207,20 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float64), np.empty(0, np.int64))
 
-    # refine: exact distances on the candidate set (padded to pow2)
-    pad = 1 << max(6, math.ceil(math.log2(ci.size)))
-    ii = np.zeros(pad, np.int64)
-    jj = np.zeros(pad, np.int64)
-    ii[:ci.size], jj[:cj.size] = ci, cj
-    dmin, tmin = _refine_pairs(r, jnp.asarray(ii), jnp.asarray(jj), pad)
-    dmin = np.asarray(dmin)[:ci.size]
-    tmin = np.asarray(tmin)[:ci.size]
+    # refine: exact distances on the candidate set, chunked so the
+    # (n_times, P, 3) gather stays bounded no matter how dense the
+    # coarse candidate set is
+    chunk_cap = max(1 << 12, (1 << 26) // max(r.shape[0], 1))
+    dmin = np.empty(ci.size, np.float32)
+    tmin = np.empty(ci.size, np.int64)
+    for c0 in range(0, ci.size, chunk_cap):
+        c1 = min(c0 + chunk_cap, ci.size)
+        pad = 1 << max(6, math.ceil(math.log2(c1 - c0)))
+        ii = np.zeros(pad, np.int64)
+        jj = np.zeros(pad, np.int64)
+        ii[:c1 - c0], jj[:c1 - c0] = ci[c0:c1], cj[c0:c1]
+        d, t = _refine_pairs(r, jnp.asarray(ii), jnp.asarray(jj), pad)
+        dmin[c0:c1] = np.asarray(d)[:c1 - c0]
+        tmin[c0:c1] = np.asarray(t)[:c1 - c0]
     hit = dmin < threshold_km
     return ci[hit], cj[hit], dmin[hit].astype(np.float64), tmin[hit]

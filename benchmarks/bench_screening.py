@@ -36,11 +36,14 @@ def main():
         lines.append(f"1 {10000+k:05d}U 98067A   24001.50000000  "
                      f".00000000  00000-0  00000+0 0  9990")
         lines.append(f"2 {10000+k:05d} {incl:8.4f} {raan:8.4f} 0001000 "
-                     f" 90.0000 {mo:8.4f} 15.20000000000010")
+                     f" 90.0000 {mo:8.4f} {14.0 + rng.uniform(0, 1.5):11.8f}10")
     cat = build_catalog("\n".join(lines))
     epoch = cat.epochs_jd[0]
     times = epoch + np.linspace(0.0, n_times / 1440.0, n_times)
 
+    # warm the jitted propagate/coarse/refine programs at the real
+    # shapes (compile ~10-30 s)
+    screen_all(cat, times, threshold_km=10.0)
     t0 = time.perf_counter()
     si, sj, sd, st = screen_all(cat, times, threshold_km=10.0)
     dt = time.perf_counter() - t0
