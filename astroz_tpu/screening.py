@@ -177,8 +177,10 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
             axis=1)
     rsq = jnp.sum(r * r, axis=-1)
 
-    # guard band: worst-case f32 cancellation of the Gram terms
-    max_rsq = float(rsq.max())
+    # guard band: worst-case f32 cancellation of the Gram terms —
+    # over REAL satellites only (pad rows sit at ~1e7 km and would
+    # inflate the guard until every pair becomes a candidate)
+    max_rsq = float(rsq[:, :n].max())
     guard = 8.0 * np.finfo(np.float32).eps * max_rsq  # km^2
     thr2 = threshold_km * threshold_km + guard
 
