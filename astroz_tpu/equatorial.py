@@ -24,21 +24,33 @@ class Declination:
     arcseconds: float
 
     def to_degrees(self) -> float:
-        mag = (abs(self.degrees) + self.arcminutes / 60.0
-               + self.arcseconds / 3600.0)
-        return -mag if self.degrees < 0 else mag
+        # any negative field carries the sign (|dec| < 1 deg has
+        # degrees == 0, the classic sexagesimal negative-zero case)
+        neg = (self.degrees < 0 or self.arcminutes < 0
+               or self.arcseconds < 0)
+        mag = (abs(self.degrees) + abs(self.arcminutes) / 60.0
+               + abs(self.arcseconds) / 3600.0)
+        return -mag if neg else mag
 
     def to_radians(self) -> float:
         return self.to_degrees() * DEG2RAD
 
     @classmethod
     def from_degrees(cls, deg: float) -> "Declination":
-        sign = -1 if deg < 0 else 1
         d = abs(deg)
         whole = int(d)
         m = int((d - whole) * 60.0)
         s = ((d - whole) * 60.0 - m) * 60.0
-        return cls(degrees=sign * whole, arcminutes=m, arcseconds=s)
+        if deg < 0:
+            # push the sign onto the leading nonzero field so
+            # sub-degree south declinations survive the round trip
+            if whole:
+                whole = -whole
+            elif m:
+                m = -m
+            else:
+                s = -s
+        return cls(degrees=whole, arcminutes=m, arcseconds=s)
 
 
 @dataclass

@@ -223,7 +223,7 @@ class Fits:
                     raise FitsError("truncated header block")
                 for c in range(0, BLOCK, CARD):
                     card = block[c:c + CARD]
-                    if card[:3] == b"END":
+                    if card[:8].rstrip() == b"END":
                         end_found = True
                         break
                     parsed = _parse_card(card)

@@ -140,6 +140,7 @@ class Vita49:
 def build_packet(payload: bytes, *, packet_type=PacketType.SIGNAL_DATA_STREAM_ID,
                  stream_id: Optional[int] = 1, tsi: Tsi = Tsi.UTC,
                  tsf: Tsf = Tsf.NONE, integer_timestamp: int = 0,
+                 fractional_timestamp: int = 0,
                  packet_count: int = 0, trailer: Optional[int] = None
                  ) -> bytes:
     """Inverse of parse for tests/simulators. Payload padded to words."""
@@ -151,6 +152,8 @@ def build_packet(payload: bytes, *, packet_type=PacketType.SIGNAL_DATA_STREAM_ID
         body += int(stream_id).to_bytes(4, "big")
     if tsi != Tsi.NONE:
         body += int(integer_timestamp).to_bytes(4, "big")
+    if tsf != Tsf.NONE:
+        body += int(fractional_timestamp).to_bytes(8, "big")
     body += payload
     if trailer is not None:
         body += int(trailer).to_bytes(4, "big")

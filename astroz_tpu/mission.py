@@ -140,8 +140,11 @@ def propagate_transfer(params: MissionParameters,
     for k in range(params.samples):
         frac = k / (params.samples - 1)
         t = t0 + frac * tof
-        # Kepler from mean anomaly along the transfer ellipse
-        m = np.pi * frac
+        # Kepler from mean anomaly along the transfer ellipse: outward
+        # legs run periapsis -> apoapsis (M: 0 -> pi), inward legs run
+        # apoapsis -> periapsis (M: pi -> 2pi) so positions stay in
+        # time order
+        m = np.pi * frac if outward else np.pi * (1.0 + frac)
         big_e = m
         for _ in range(30):
             big_e -= (big_e - e_t * np.sin(big_e) - m) / \
@@ -149,11 +152,11 @@ def propagate_transfer(params: MissionParameters,
         nu = 2.0 * np.arctan2(np.sqrt(1 + e_t) * np.sin(big_e / 2),
                               np.sqrt(1 - e_t) * np.cos(big_e / 2))
         r = a_t * (1.0 - e_t * np.cos(big_e))
-        # align periapsis with departure point; inward transfers start
-        # at apoapsis
+        # align the departure point: periapsis for outward transfers,
+        # apoapsis (nu = pi) for inward ones
         ang0 = np.arctan2(planet_position(origin, t0)[1],
                           planet_position(origin, t0)[0])
-        ang = ang0 + nu if outward else ang0 + nu + np.pi
+        ang = ang0 + nu if outward else ang0 + (nu - np.pi)
         pts.append(TrajectoryPoint(
             t, np.array([r * np.cos(ang), r * np.sin(ang), 0.0]),
             PointKind.TRAJECTORY))

@@ -76,7 +76,7 @@ def run_hohmann_monte_carlo(config: MonteCarloConfig
     r2 = jnp.maximum(r2, 0.5 * config.r2_km)
     mu = jnp.maximum(mu, 0.5 * config.mu)
 
-    dv1, dv2, total, tof = jax.jit(hohmann_transfer)(r1, r2, config.mu)
+    dv1, dv2, total, tof = jax.jit(hohmann_transfer)(r1, r2, mu)
     # failure = degenerate transfer (radii crossed to within 1 km)
     ok = np.asarray(jnp.abs(r2 - r1) > 1.0)
     n_failed = int((~ok).sum())

@@ -574,10 +574,13 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
             u_base, apply_mask=is_deep)
         neg_inc = xincp < 0.0
         xincp = jnp.abs(xincp)
-        # node + pi when inclination flipped; argp - pi (cancels in u)
+        # inclination flip transformation: node += pi, argp -= pi —
+        # and u = mp + argp shifts by -pi with it (the f64 path gets
+        # this implicitly by recomputing u from the shifted argpp)
         sin_node = jnp.where(neg_inc, -sin_node, sin_node)
         cos_node = jnp.where(neg_inc, -cos_node, cos_node)
         argpp = jnp.where(neg_inc, argpp - _f32(PI), argpp)
+        u = jnp.where(neg_inc, u - _f32(PI), u)
         error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), jnp.int32(3), error)
         ep = jnp.clip(ep, 1e-12, 0.999999)
 

@@ -378,7 +378,9 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                          * MINUTES_PER_DAY)
             steps = max(2, int(2 ** np.ceil(np.log2(
                 max(tmax / 720.0, 1.0) + 1.0))))
-            steps = steps if steps <= 64 else None  # long spans: while_loop
+            # beyond 8 unrolled steps the XLA program blows up in
+            # compile time; long spans keep the while_loop
+            steps = steps if steps <= 8 else None
             t_sat_deep = (cat.els_deep.epoch_jd - ref) * MINUTES_PER_DAY
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,

@@ -47,8 +47,13 @@ def _positions_f32(cat: SatCatalog, jd, fr=None, method: str = "fast"):
     r, _, err = propagate(cat, jd, fr, velocities=False, method=method)
     r = jnp.asarray(r, jnp.float32)
     bad = (err != 0)[..., None]
-    # failed lanes sit at the pad position so they never screen
-    r = jnp.where(bad, _PAD_POS, r)
+    # failed lanes park far away at per-satellite DISTINCT points —
+    # a shared pad position would make two failed satellites screen as
+    # a zero-distance conjunction with each other
+    # 1e6 km spacing: farther apart than any plausible threshold
+    park = _PAD_POS + 1.0e6 * jnp.arange(r.shape[1],
+                                         dtype=jnp.float32)[None, :, None]
+    r = jnp.where(bad, park, r)
     return r
 
 
@@ -90,6 +95,26 @@ def screen_target(cat: SatCatalog, target: Union[str, Tle, SatCatalog],
 # ---------------------------------------------------------------------------
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _sharded_coarse_fn(mesh1, block: int):
+    """Cached jitted shard_map for the sharded coarse pass — a fresh
+    closure per block would retrace/recompile every call."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(r_loc, rsq_loc, j0):
+        dmin = _coarse_block_min(r_loc, rsq_loc, j0, block)
+        return jax.lax.pmin(dmin, "scr")
+
+    mapped = shard_map(fn, mesh=mesh1,
+                       in_specs=(P("scr"), P("scr"), P()),
+                       out_specs=P(None, None), check_rep=False)
+    return jax.jit(mapped)
+
+
 def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
     """Multi-chip coarse pass: the time axis is sharded over all mesh
     devices; each device reduces min-over-its-times, then one
@@ -104,20 +129,15 @@ def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
     n_dev = len(devs)
     tpad = (-r.shape[0]) % n_dev
     if tpad:
+        # pad the TIME axis by repeating the last real step — a shared
+        # far-away pad point would zero every pairwise distance there
         r = jnp.concatenate(
-            [r, jnp.full((tpad,) + r.shape[1:], _PAD_POS, jnp.float32)])
+            [r, jnp.broadcast_to(r[-1:], (tpad,) + r.shape[1:])])
         rsq = jnp.concatenate(
-            [rsq, jnp.full((tpad,) + rsq.shape[1:], 3 * _PAD_POS ** 2,
-                           jnp.float32)])
+            [rsq, jnp.broadcast_to(rsq[-1:], (tpad,) + rsq.shape[1:])])
 
-    def fn(r_loc, rsq_loc):
-        dmin = _coarse_block_min(r_loc, rsq_loc, j0, block)
-        return jax.lax.pmin(dmin, "scr")
-
-    out = shard_map(fn, mesh=mesh1,
-                    in_specs=(P("scr"), P("scr")),
-                    out_specs=P(None, None), check_rep=False)
-    return jax.jit(out)(r, rsq)
+    fn = _sharded_coarse_fn(mesh1, block)
+    return fn(r, rsq, jnp.asarray(j0, jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("block",))
@@ -172,9 +192,10 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
     r = _positions_f32(cat, jd, fr, method)
     n_pad = (-n) % block
     if n_pad:
-        r = jnp.concatenate(
-            [r, jnp.full((r.shape[0], n_pad, 3), _PAD_POS, jnp.float32)],
-            axis=1)
+        park = (_PAD_POS + 1.0e6 * (n + jnp.arange(n_pad, dtype=jnp.float32))
+                )[None, :, None] + jnp.zeros((r.shape[0], n_pad, 3),
+                                             jnp.float32)
+        r = jnp.concatenate([r, park], axis=1)
     rsq = jnp.sum(r * r, axis=-1)
 
     # guard band: worst-case f32 cancellation of the Gram terms —

@@ -193,3 +193,25 @@ def test_pallas_kernel_interpret_matches_xla():
         dr = np.abs(np.asarray(r1, np.float64)
                     - np.asarray(r2, np.float64)).max()
         assert dr < 0.05, f"{fn.__name__}: {dr} km"
+
+
+def test_fast_negative_inclination_flip_matches_f64():
+    """dpper can drive a near-zero-inclination GEO's perturbed
+    inclination negative; the flip transformation (node+pi, argp-pi,
+    |i|) must shift Kepler's argument u by -pi too (regression: the
+    fast path omitted the u shift and returned ~antipodal positions)."""
+    l1 = ("1 99001U 24001A   24186.00000000 -.00000098  00000+0"
+          "  00000+0 0  9992")
+    l2 = ("2 99001   0.0030 279.8379 0000069  20.3251 343.1766"
+          "  1.00270142 70992")
+    cat = build_catalog("\n".join([l1, l2]))
+    assert cat.n_deep == 1
+    # sweep over a lunar month so the lunisolar periodics cross zero
+    times = np.linspace(0.0, 41760.0, 400)
+    t = jnp.asarray(times)[:, None]
+    r64, v64, e64, _ = sdp4_propagate(cat.els, cat.deep, t, cat.grav)
+    r32, v32, e32 = propagate_fast(cat.els, cat.deep, t, cat.grav)
+    np.testing.assert_array_equal(np.asarray(e64), np.asarray(e32))
+    dr = np.linalg.norm(np.asarray(r64) - np.asarray(r32, np.float64),
+                        axis=-1)
+    assert dr.max() < 0.2, f"{dr.max():.3f} km"

@@ -120,3 +120,22 @@ def test_pgm_export(tmp_path):
         raw = out.read_bytes()
         assert raw.startswith(b"P5\n16 16\n255\n")
         assert len(raw) == len(b"P5\n16 16\n255\n") + 256
+
+
+def test_endtime_keyword_not_mistaken_for_end(tmp_path):
+    """Regression: header keywords starting with END (e.g. ENDTIME)
+    truncated the header."""
+    img = np.arange(4, dtype=np.int16).reshape(2, 2)
+    arr = np.asarray(img, ">i2")
+    cards = [_card("SIMPLE", True), _card("BITPIX", 16),
+             _card("NAXIS", 2), _card("NAXIS1", 2), _card("NAXIS2", 2),
+             _card("ENDTIME", "2024-01-01"), _card("OBJECT", "X")]
+    p = tmp_path / "endtime.fits"
+    with open(p, "wb") as f:
+        f.write(_header(cards))
+        f.write(_pad_data(arr.tobytes()))
+    fits = Fits.open(str(p))
+    hdu = fits[0]
+    assert hdu.header["ENDTIME"] == "2024-01-01"
+    assert hdu.header["OBJECT"] == "X"
+    assert hdu.image().shape == (2, 2)

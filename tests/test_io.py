@@ -171,3 +171,22 @@ def test_spice_gated():
             spice.get_sun_position(0.0)
         with pytest.raises(spice.SpiceNotEnabled):
             spice.load_kernel("/nonexistent.tls")
+
+
+def test_vita49_fractional_timestamp_roundtrip():
+    """Regression: build_packet advertised TSF but never appended the
+    fractional timestamp word pair."""
+    raw = vita_build(b"payload!", tsi=Tsi.UTC, integer_timestamp=7,
+                     tsf=__import__("astroz_tpu.io.vita49",
+                                    fromlist=["Tsf"]).Tsf.REAL_TIME_PS,
+                     fractional_timestamp=123456789012345)
+    pkt = Vita49.parse(raw)
+    assert pkt.fractional_timestamp == 123456789012345
+    assert pkt.payload == b"payload!"
+
+
+def test_declination_subdegree_sign_roundtrip():
+    """Regression: Declination.from_degrees(-0.5) lost the sign."""
+    for deg in (-0.5, -0.004, -16.7, 0.5, 0.0):
+        d = Declination.from_degrees(deg)
+        assert abs(d.to_degrees() - deg) < 1e-9, deg

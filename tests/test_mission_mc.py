@@ -145,3 +145,27 @@ def test_monte_carlo_statistics(tmp_path):
     p = tmp_path / "mc.csv"
     export_csv(res, str(p))
     assert p.read_text().startswith("metric,mean")
+
+
+def test_monte_carlo_mu_sigma_has_effect():
+    """Regression: perturbed mu samples were computed then dropped."""
+    base = run_hohmann_monte_carlo(MonteCarloConfig(
+        n_samples=500, r1_sigma_km=0.0, r2_sigma_km=0.0, mu_sigma=0.0))
+    wide = run_hohmann_monte_carlo(MonteCarloConfig(
+        n_samples=500, r1_sigma_km=0.0, r2_sigma_km=0.0,
+        mu_sigma=2000.0))
+    assert base["total_delta_v"].std < 1e-12
+    assert wide["total_delta_v"].std > 1e-5
+
+
+def test_inward_transfer_trajectory_time_order():
+    """Regression: Mars->Earth trajectory points ran backwards in
+    time (position at t0 was the arrival end of the ellipse)."""
+    plan = plan_mission(MissionParameters(origin="mars",
+                                          destination="earth"))
+    traj = [p for p in plan.trajectory
+            if p.kind == PointKind.TRAJECTORY]
+    r_start = np.linalg.norm(traj[0].position_km)
+    r_end = np.linalg.norm(traj[-1].position_km)
+    assert abs(r_start - BODIES["mars"].semi_major_axis) < 1e4
+    assert abs(r_end - BODIES["earth"].semi_major_axis) < 1e4

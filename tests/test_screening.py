@@ -124,3 +124,23 @@ def test_screen_all_sharded_matches_single(shell_cat, times):
     np.testing.assert_array_equal(si, mi)
     np.testing.assert_array_equal(sj, mj)
     np.testing.assert_allclose(sd, md, atol=1e-9)
+
+
+def test_failed_satellites_do_not_screen_each_other():
+    """Two decayed satellites must not report a 0-km conjunction
+    (regression: failed lanes shared one far-away pad position)."""
+    decay1 = ("1 90001U 98067A   24001.50000000  .00016717  00000-0"
+              "  99999+2 0  9991")
+    decay2 = ("1 90002U 98067A   24001.50000000  .00016717  00000-0"
+              "  99999+2 0  9992")
+    l2a = ("2 90001  51.6400 200.0000 0001234  90.0000 270.0000"
+           " 15.50000000000017")
+    l2b = ("2 90002  51.6400 210.0000 0001234  90.0000 270.0000"
+           " 15.50000000000019")
+    cat = build_catalog("\n".join([decay1, l2a, decay2, l2b,
+                                   TRAJ_L1, TRAJ_L2]))
+    epoch = cat.epochs_jd[0]
+    times = epoch + 2.0 + np.linspace(0, 0.1, 10)  # after decay
+    si, sj, sd, st = screen_all(cat, times, threshold_km=5000.0, block=8)
+    pairs = set(zip(si.tolist(), sj.tolist()))
+    assert (0, 1) not in pairs
