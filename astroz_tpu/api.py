@@ -113,6 +113,31 @@ class Satrec:
         return self.sgp4(jd, fr)
 
     def _sgp4_many(self, jd: np.ndarray, fr: np.ndarray):
+        n = len(jd)
+        if n >= 4096:
+            # time-as-lanes: fold the time axis into both grid
+            # dimensions so one satellite fills the VPU (the
+            # reference's 1-sat x 8-times propagateN at TPU width)
+            from .ops.sdp4 import sdp4_propagate
+            from .ops.sgp4 import sgp4_propagate
+            cat = self._cat
+            lanes = 512
+            pad = (-n) % lanes
+            tsince = ((np.asarray(jd, np.float64)
+                       - float(cat.els.epoch_jd[0]))
+                      + np.asarray(fr, np.float64)) * MINUTES_PER_DAY
+            tsince = np.concatenate(
+                [tsince, np.full(pad, tsince[-1])]).reshape(-1, lanes)
+            t = jnp.asarray(tsince)
+            if cat.has_deep:
+                r, v, err, _ = sdp4_propagate(cat.els, cat.deep, t,
+                                              cat.grav)
+            else:
+                r, v, err = sgp4_propagate(cat.els, t, cat.grav)
+            r = np.asarray(r).reshape(-1, 3)[:n]
+            v = np.asarray(v).reshape(-1, 3)[:n]
+            err = np.asarray(err).reshape(-1)[:n]
+            return err, r, v
         from .propagation import propagate
         r, v, err = propagate(self._cat, jd, fr)
         return (np.asarray(err)[:, 0], np.asarray(r)[:, 0],

@@ -128,3 +128,28 @@ def test_python_sgp4_attribute_parity():
                  "ephtype", "gsto", "mdot", "argpdot", "nodedot"):
         assert hasattr(sat, attr), attr
         getattr(sat, attr)
+
+
+def test_sgp4_array_large_lanes_path():
+    """>= 4096 times takes the time-as-lanes layout; results must match
+    the small-batch path exactly (same f64 kernel)."""
+    sat = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    n = 5000
+    times = np.linspace(0.0, 1440.0, n)
+    jd = np.full(n, sat.jdsatepoch)
+    fr = sat.jdsatepochF + times / 1440.0
+    e, r, v = sat.sgp4_array(jd, fr)
+    assert r.shape == (n, 3) and np.all(e == 0)
+    # spot-check against the small path
+    e2, r2, v2 = sat.sgp4_array(jd[::100], fr[::100])
+    np.testing.assert_allclose(r[::100], r2, atol=2e-6)
+
+    # deep-space satellite through the lanes path
+    from test_sdp4 import GEO_L1, GEO_L2
+    g = Satrec.twoline2rv(GEO_L1, GEO_L2, WGS72)
+    jd = np.full(4608, g.jdsatepoch)
+    fr = g.jdsatepochF + np.linspace(0, 1, 4608)
+    e, r, v = g.sgp4_array(jd, fr)
+    assert np.all(e == 0)
+    rn = np.linalg.norm(r, axis=-1)
+    assert 42000 < rn.min() < rn.max() < 42400
