@@ -72,15 +72,19 @@ class Satrec:
         self.error = int(self._cat.init_errors[0])
         return self
 
-    @classmethod
-    def sgp4init(cls, whichconst, opsmode: str, satnum: int, epoch: float,
+    def sgp4init(self, whichconst, opsmode: str, satnum: int, epoch: float,
                  bstar: float, ndot: float, nddot: float, ecco: float,
                  argpo: float, inclo: float, mo: float, no_kozai: float,
                  nodeo: float) -> "Satrec":
         """python-sgp4 compatible element-wise init. ``epoch`` is days
         since 1949 December 31 00:00 UT (python-sgp4 convention);
-        ``no_kozai`` in rad/min."""
-        self = cls()
+        ``no_kozai`` in rad/min.
+
+        Like python-sgp4 (and unlike a constructor), this is an
+        *in-place instance method*: ``sat = Satrec(); sat.sgp4init(...)``
+        initializes ``sat`` itself. It also returns ``self`` so the
+        one-liner ``Satrec().sgp4init(...)`` works.
+        """
         grav = _resolve_grav(whichconst)
         epoch_jd = epoch + 2433281.5
         els = sgp4_init(grav, no_kozai=np.asarray([no_kozai]),
@@ -255,10 +259,15 @@ class SatrecArray:
         self._satrecs = list(satrecs)
         self._method = method
         grav = satrecs[0]._cat.grav
+        same_grav = all(s._cat.grav == grav for s in satrecs)
         tles = [s._tle for s in satrecs]
-        if all(t is not None for t in tles):
+        if same_grav and all(t is not None for t in tles):
             self._cat = build_catalog(tles, grav=grav)
         else:
+            # mixed gravity models (or element-wise init): concatenate
+            # the already-initialized element pytrees — each satellite
+            # keeps the constants it was initialized under, matching
+            # python-sgp4's per-satrec whichconst
             # concatenate element pytrees from the individual catalogs
             import jax
             els = jax.tree_util.tree_map(

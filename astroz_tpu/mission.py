@@ -137,6 +137,13 @@ def propagate_transfer(params: MissionParameters,
     t0 = params.departure_time_days
     pts.append(TrajectoryPoint(t0, planet_position(origin, t0),
                                PointKind.WAYPOINT, "departure"))
+    # Destination phase: the transfer ellipse arrives at ang0 + pi
+    # (ang0 = origin angle at departure), so anchor the destination's
+    # angular motion to coincide with the spacecraft there at t0 + tof —
+    # works for any departure_time_days, not just t0 = 0.
+    dep_pos = planet_position(origin, t0)
+    ang0_dep = np.arctan2(dep_pos[1], dep_pos[0])
+    dest_phase0 = ang0_dep + np.pi - planet_angular_rate(dest) * (t0 + tof)
     for k in range(params.samples):
         frac = k / (params.samples - 1)
         t = t0 + frac * tof
@@ -161,10 +168,10 @@ def propagate_transfer(params: MissionParameters,
             t, np.array([r * np.cos(ang), r * np.sin(ang), 0.0]),
             PointKind.TRAJECTORY))
         pts.append(TrajectoryPoint(t, planet_position(dest, t,
-                                                      plan.phase_angle_rad),
+                                                      dest_phase0),
                                    PointKind.PLANET, params.destination))
     pts.append(TrajectoryPoint(t0 + tof,
                                planet_position(dest, t0 + tof,
-                                               plan.phase_angle_rad),
+                                               dest_phase0),
                                PointKind.WAYPOINT, "arrival"))
     return pts

@@ -30,16 +30,49 @@ enum Col {
 
 bool is_digit(char c) { return c >= '0' && c <= '9'; }
 
-// strtod on a fixed-width field (not NUL-terminated)
+// Fixed-point decimal on a fixed-width field. TLE numeric fields are
+// "[spaces][+-][digits][.digits]" — parsed manually so the result is
+// locale-independent (strtod honors LC_NUMERIC: under a comma-decimal
+// locale every '.nnnn' field would fail and the catalog would silently
+// come back empty).
 bool parse_f64(const char* s, int len, double* out) {
-  char buf[32];
-  if (len >= 31) return false;
-  std::memcpy(buf, s, len);
-  buf[len] = 0;
-  char* end = nullptr;
-  double v = std::strtod(buf, &end);
-  if (end == buf) return false;
-  *out = v;
+  int i = 0;
+  while (i < len && s[i] == ' ') ++i;
+  if (i >= len) return false;
+  double sign = 1.0;
+  if (s[i] == '+' || s[i] == '-') {
+    if (s[i] == '-') sign = -1.0;
+    ++i;
+  }
+  // exact integer mantissa / power of ten: both are exactly
+  // representable (TLE fields have <= 12 significant digits), so the
+  // single division is correctly rounded — bit-identical to a correct
+  // strtod under the C locale
+  long long mant = 0;
+  int frac = 0;
+  bool any = false;
+  while (i < len && is_digit(s[i])) {
+    mant = mant * 10 + (s[i] - '0');
+    any = true;
+    ++i;
+  }
+  if (i < len && s[i] == '.') {
+    ++i;
+    while (i < len && is_digit(s[i])) {
+      mant = mant * 10 + (s[i] - '0');
+      ++frac;
+      any = true;
+      ++i;
+    }
+  }
+  while (i < len && s[i] == ' ') ++i;
+  if (!any || i != len) return false;
+  static const double kPow10[16] = {
+      1e0, 1e1, 1e2, 1e3, 1e4, 1e5, 1e6, 1e7,
+      1e8, 1e9, 1e10, 1e11, 1e12, 1e13, 1e14, 1e15};
+  double v = (double)mant;
+  if (frac > 0) v /= (frac < 16) ? kPow10[frac] : std::pow(10.0, frac);
+  *out = sign * v;
   return true;
 }
 

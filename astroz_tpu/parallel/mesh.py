@@ -43,11 +43,22 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         devices = jax.devices()
     n = len(devices)
     if sat_parallel is None:
+        if n % time_parallel != 0:
+            raise ValueError(
+                f"time_parallel ({time_parallel}) must divide the device "
+                f"count ({n}); got {n} devices — pass sat_parallel "
+                f"explicitly or pick time_parallel from the divisors of "
+                f"{n}")
         sat_parallel = n // time_parallel
+    if sat_parallel < 1 or time_parallel < 1:
+        raise ValueError(
+            f"mesh axes must be >= 1 (got sat_parallel={sat_parallel}, "
+            f"time_parallel={time_parallel} over {n} devices)")
     if sat_parallel * time_parallel != n:
         raise ValueError(
             f"sat_parallel ({sat_parallel}) x time_parallel "
-            f"({time_parallel}) must equal device count ({n})")
+            f"({time_parallel}) must equal device count ({n}); pick "
+            f"factors of {n} or let sat_parallel default")
     dev_array = np.asarray(devices).reshape(time_parallel, sat_parallel)
     return Mesh(dev_array, axis_names=("time", "sat"))
 

@@ -42,17 +42,21 @@ from .tle import Tle
 _PAD_POS = 1.0e7
 
 
-def _positions_f32(cat: SatCatalog, jd, fr=None, method: str = "fast"):
+def _positions_f32(cat: SatCatalog, jd, fr=None, method: str = "fast",
+                   park_offset: float = 0.0):
     """(n_times, n_sats, 3) TEME positions as f32, plus error mask."""
     r, _, err = propagate(cat, jd, fr, velocities=False, method=method)
     r = jnp.asarray(r, jnp.float32)
     bad = (err != 0)[..., None]
     # failed lanes park far away at per-satellite DISTINCT points —
     # a shared pad position would make two failed satellites screen as
-    # a zero-distance conjunction with each other
-    # 1e6 km spacing: farther apart than any plausible threshold
-    park = _PAD_POS + 1.0e6 * jnp.arange(r.shape[1],
-                                         dtype=jnp.float32)[None, :, None]
+    # a zero-distance conjunction with each other.
+    # 1e6 km spacing: farther apart than any plausible threshold.
+    # park_offset keeps park points from DIFFERENT catalogs distinct
+    # too (screen_target screens one catalog against another).
+    park = (_PAD_POS + park_offset
+            + 1.0e6 * jnp.arange(r.shape[1],
+                                 dtype=jnp.float32)[None, :, None])
     r = jnp.where(bad, park, r)
     return r
 
@@ -81,7 +85,11 @@ def screen_target(cat: SatCatalog, target: Union[str, Tle, SatCatalog],
         tcat = build_catalog(target, grav=cat.grav)
 
     r_all = _positions_f32(cat, jd, fr, method)        # (T, N, 3)
-    r_tgt = _positions_f32(tcat, jd, fr, method)       # (T, 1, 3)
+    # offset the target's park points so a failed target and a failed
+    # catalog satellite never coincide (both would otherwise park at
+    # exactly _PAD_POS and screen as a 0-km conjunction)
+    r_tgt = _positions_f32(tcat, jd, fr, method,
+                           park_offset=-5.0e5)         # (T, 1, 3)
     d = jnp.linalg.norm(r_all - r_tgt, axis=-1)        # (T, N)
     min_d = d.min(axis=0)
     t_idx = d.argmin(axis=0)

@@ -97,10 +97,13 @@ def test_satrec_array_mixed():
 def test_sgp4init_elementwise():
     sat_tle = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
     epoch_1949 = sat_tle.jdsatepoch + sat_tle.jdsatepochF - 2433281.5
-    sat = Satrec.sgp4init(
+    # python-sgp4 idiom: construct, then initialize in place
+    sat = Satrec()
+    ret = sat.sgp4init(
         WGS72, "i", 25544, epoch_1949, sat_tle.bstar, 0.0, 0.0,
         sat_tle.ecco, sat_tle.argpo, sat_tle.inclo, sat_tle.mo,
         sat_tle.no_kozai, sat_tle.nodeo)
+    assert ret is sat
     assert sat.error == 0
     jd, fr = sat_tle.jdsatepoch, sat_tle.jdsatepochF + 0.25
     e1, r1, v1 = sat_tle.sgp4(jd, fr)
