@@ -135,6 +135,47 @@ def _resonance_derivs_fast(deep: DeepElements, els: Sgp4Elements, xli, xni,
     return xndt, xldot, xnddt * xldot
 
 
+def _resonance_tables(deep: DeepElements, els: Sgp4Elements, n_steps: int):
+    """Per-SATELLITE resonance integration tables.
+
+    Key structural fact (reference: dspace, Sdp4.zig:774-820): the
+    Euler-Maclaurin integrator state only changes every 720 minutes, so
+    a whole (n_times, n_sats) grid shares at most ``n_steps + 1``
+    distinct states per satellite. Instead of stepping the recurrence
+    per grid point (the unrolled/while_loop form — O(steps) expensive
+    f64 work per point), integrate ONCE per satellite with a
+    ``lax.scan`` over steps, record every state and its derivatives,
+    and let each grid point gather its row. Per-point resonance cost
+    collapses to five tiny gathers + a quadratic.
+
+    Returns ``(xli, xni, xndt, xldot, xnddt)`` tables, each shaped
+    ``(2 * (n_steps + 1), n_sats)`` — forward states first, backward
+    (t < 0) states after (row ``k + n_steps + 1``).
+    """
+    f64 = els.no_kozai.dtype
+
+    def build(delt):
+        def step(state, _):
+            xli, xni, atime = state
+            xndt, xldot, xnddt = _resonance_derivs_fast(
+                deep, els, xli, xni, atime)
+            row = (xli, xni, xndt, xldot, xnddt)
+            xli_n = xli + xldot * delt + xndt * STEP2
+            xni_n = xni + xndt * delt + xnddt * STEP2
+            return (xli_n, xni_n, atime + delt), row
+
+        init = (deep.xlamo + jnp.zeros_like(deep.xlamo),
+                els.no_unkozai + jnp.zeros_like(deep.xlamo),
+                jnp.zeros_like(deep.xlamo))
+        _, rows = jax.lax.scan(step, init, None, length=n_steps + 1)
+        return rows
+
+    fwd = build(jnp.asarray(STEPP, f64))
+    bwd = build(jnp.asarray(-STEPP, f64))
+    return tuple(jnp.concatenate([f, b], axis=0)
+                 for f, b in zip(fwd, bwd))
+
+
 def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     """f32 equinoctial Kepler: fixed-trip Newton with polynomial sincos.
 
@@ -436,53 +477,72 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     nm_res64 = els.no_unkozai + jnp.zeros_like(xmdf)
     mm_spine = xmdf
     if deep is not None:
-        # resonance integration (Euler-Maclaurin, 720-min steps) — f64,
-        # identical machinery to ops.sdp4.dspace
-        if carry is None:
-            shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
-            carry = ResonanceCarry(
-                atime=jnp.zeros(shape, f64),
-                xli=jnp.broadcast_to(deep.xlamo, shape),
-                xni=jnp.broadcast_to(els.no_unkozai, shape))
         resonant = deep.irez != 0
-        atime, xli, xni = carry
-        restart = ((atime == 0.0) | (t * atime <= 0.0)
-                   | (jnp.abs(t) < jnp.abs(atime)))
-        atime = jnp.where(restart, 0.0, atime)
-        xli = jnp.where(restart, deep.xlamo, xli)
-        xni = jnp.where(restart, els.no_unkozai, xni)
-        delt = jnp.where(t > 0.0, STEPP, -STEPP)
+        if carry is None:
+            # Table form: integrate the 720-min Euler-Maclaurin
+            # recurrence ONCE per satellite (see _resonance_tables),
+            # then each grid point gathers its step row. The step index
+            # reproduces the while-loop exit rule |t - atime| < STEPP
+            # from atime = 0: k = floor(|t| / STEPP).
+            # default depth covers ~32 days either side of epoch; the
+            # catalog layer passes the exact host-known horizon
+            # (propagation.py). Each extra step costs O(n_sats), so
+            # generous depths are cheap.
+            n_steps = (resonance_steps if resonance_steps is not None
+                       else 64)
+            tables = _resonance_tables(deep, els, n_steps)
+            shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
+            tg = jnp.broadcast_to(t, shape)
+            k = jnp.minimum((jnp.abs(tg) // STEPP).astype(jnp.int32),
+                            jnp.int32(n_steps))
+            idx = k + jnp.where(tg < 0.0, jnp.int32(n_steps + 1),
+                                jnp.int32(0))
+            n_sats = deep.xlamo.shape[0]
+            idx2 = idx.reshape(-1, n_sats)
 
-        def active_fn(atime_):
-            return resonant & (jnp.abs(t - atime_) >= STEPP)
+            def gather(tbl):
+                g = jnp.take_along_axis(tbl, idx2, axis=0)
+                return g.reshape(shape)
 
-        def body(state):
-            atime_, xli_, xni_ = state
-            xndt, xldot, xnddt = _resonance_derivs_fast(
-                deep, els, xli_, xni_, atime_)
-            act = active_fn(atime_)
-            xli_ = jnp.where(act, xli_ + xldot * delt + xndt * STEP2, xli_)
-            xni_ = jnp.where(act, xni_ + xndt * delt + xnddt * STEP2, xni_)
-            atime_ = jnp.where(act, atime_ + delt, atime_)
-            return atime_, xli_, xni_
-
-        if resonance_steps is not None:
-            # statically unrolled (host knows the time horizon:
-            # ceil(max|t| / 720)) — fuses into one kernel instead of a
-            # while_loop with per-iteration HBM round trips
-            state = (atime, xli, xni)
-            for _ in range(resonance_steps):
-                state = body(state)
-            atime, xli, xni = state
+            xli, xni, xndt, xldot, xnddt = (gather(tb) for tb in tables)
+            atime = k.astype(f64) * jnp.where(tg > 0.0, STEPP, -STEPP)
+            ft = tg - atime
+            nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
+            xl = xli + xldot * ft + xndt * ft * ft * 0.5
         else:
+            # carry form: resume the integration point-wise from the
+            # provided state (reference restart rule, Sdp4.zig:787-791)
+            atime, xli, xni = carry
+            restart = ((atime == 0.0) | (t * atime <= 0.0)
+                       | (jnp.abs(t) < jnp.abs(atime)))
+            atime = jnp.where(restart, 0.0, atime)
+            xli = jnp.where(restart, deep.xlamo, xli)
+            xni = jnp.where(restart, els.no_unkozai, xni)
+            delt = jnp.where(t > 0.0, STEPP, -STEPP)
+
+            def active_fn(atime_):
+                return resonant & (jnp.abs(t - atime_) >= STEPP)
+
+            def body(state):
+                atime_, xli_, xni_ = state
+                xndt, xldot, xnddt = _resonance_derivs_fast(
+                    deep, els, xli_, xni_, atime_)
+                act = active_fn(atime_)
+                xli_ = jnp.where(act, xli_ + xldot * delt + xndt * STEP2,
+                                 xli_)
+                xni_ = jnp.where(act, xni_ + xndt * delt + xnddt * STEP2,
+                                 xni_)
+                atime_ = jnp.where(act, atime_ + delt, atime_)
+                return atime_, xli_, xni_
+
             atime, xli, xni = jax.lax.while_loop(
                 lambda s: jnp.any(active_fn(s[0])), body,
                 (atime, xli, xni))
-        xndt, xldot, _ = _resonance_derivs_fast(deep, els, xli, xni,
-                                                 atime)
-        ft = t - atime
-        nm_res = xni + xndt * ft
-        xl = xli + xldot * ft + xndt * ft * ft * 0.5
+            xndt, xldot, xnddt = _resonance_derivs_fast(deep, els, xli,
+                                                        xni, atime)
+            ft = t - atime
+            nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
+            xl = xli + xldot * ft + xndt * ft * ft * 0.5
         theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
         mm_geo = xl - nodem64 - argpdf + theta
         mm_half = xl - 2.0 * nodem64 + 2.0 * theta

@@ -682,9 +682,9 @@ def dspace(deep: DeepElements, els: Sgp4Elements, t, tc, em, argpm, inclm,
             0, max_steps, lambda _, s: body(s), (atime, xli, xni))
 
     # final derivative evaluation at the converged state
-    xndt, xldot, _ = _resonance_derivs(deep, els, xli, xni, atime)
+    xndt, xldot, xnddt = _resonance_derivs(deep, els, xli, xni, atime)
     ft = t - atime
-    nm_res = xni + xndt * ft
+    nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
     xl = xli + xldot * ft + xndt * ft * ft * 0.5
     mm_geo = xl - nodem - argpm + theta
     mm_half = xl - 2.0 * nodem + 2.0 * theta

@@ -202,6 +202,11 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     tsince = ((jd[:, None] - scat.els.epoch_jd[None, :])
               + fr[:, None]) * MINUTES_PER_DAY
     jd_sum = (jd + fr)[:, None]
+    # host-known horizon -> static resonance table depth (power of two
+    # to bound recompilation; see ops/fast.py:_resonance_tables)
+    tmax = float(np.abs(np.asarray(tsince)).max())
+    res_steps = max(2, int(2 ** np.ceil(np.log2(
+        max(tmax / 720.0, 1.0) + 1.0))))
 
     sat_spec = P("sat")
     grid_spec = P("time", "sat")
@@ -215,7 +220,8 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
             # mixed shards run the unified masked-dense kernel (the
             # Pallas engine covers the near-earth tail only)
             r, v, err = propagate_fast(els, deep, ts, grav,
-                                       kepler_iters=8)
+                                       kepler_iters=8,
+                                       resonance_steps=res_steps)
             return _finalize(r, v, err, js, output, True)
 
         fn = shard_map(shard_fn, mesh=mesh,

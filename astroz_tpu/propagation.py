@@ -367,10 +367,12 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                 cat.els, t_time, t_sat, jd_sum, cat.grav, output,
                 velocities, cat.kepler_iters, engine)
         else:
-            # static resonance trip count from the host-known horizon
+            # static resonance TABLE depth from the host-known horizon
             # (vs the DEEP satellites' own epochs — resonance integrates
             # from each epoch), rounded up to a power of two to bound
-            # recompilation
+            # recompilation. The table is built per-satellite by a
+            # lax.scan (ops/fast.py:_resonance_tables), so depth is
+            # cheap — O(n_sats) work per step, not O(grid).
             jd_sum_h = np.asarray(jd) + np.asarray(fr)
             ep_deep = np.asarray(cat.els_deep.epoch_jd)
             tmax = float(max(abs(jd_sum_h.max() - ep_deep.min()),
@@ -378,9 +380,6 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                          * MINUTES_PER_DAY)
             steps = max(2, int(2 ** np.ceil(np.log2(
                 max(tmax / 720.0, 1.0) + 1.0))))
-            # beyond 8 unrolled steps the XLA program blows up in
-            # compile time; long spans keep the while_loop
-            steps = steps if steps <= 8 else None
             t_sat_deep = (cat.els_deep.epoch_jd - ref) * MINUTES_PER_DAY
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
