@@ -497,12 +497,29 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
                             jnp.int32(n_steps))
             idx = k + jnp.where(tg < 0.0, jnp.int32(n_steps + 1),
                                 jnp.int32(0))
-            n_sats = deep.xlamo.shape[0]
-            idx2 = idx.reshape(-1, n_sats)
+            # Row selection is a statically-unrolled where-chain, NOT a
+            # take_along_axis gather: per-element gathers lower to a
+            # serialized TPU gather op that measured ~400x slower than
+            # the fused elementwise selects (98.5 ms vs 0.25 ms for the
+            # 1440x667 grid) — the table is tiny along the step axis,
+            # so selects fuse into one elementwise pass. Past ~256 rows
+            # (horizons beyond ~90 days) the unroll would bloat compile
+            # time, so fall back to the gather; long monotone grids
+            # should use the scan-carry path instead.
+            n_rows = 2 * (n_steps + 1)
+            if n_rows <= 256:
+                def gather(tbl):
+                    out = jnp.broadcast_to(tbl[0], shape)
+                    for row in range(1, n_rows):
+                        out = jnp.where(idx == row, tbl[row], out)
+                    return out
+            else:
+                n_sats = deep.xlamo.shape[0]
+                idx2 = idx.reshape(-1, n_sats)
 
-            def gather(tbl):
-                g = jnp.take_along_axis(tbl, idx2, axis=0)
-                return g.reshape(shape)
+                def gather(tbl):
+                    g = jnp.take_along_axis(tbl, idx2, axis=0)
+                    return g.reshape(shape)
 
             xli, xni, xndt, xldot, xnddt = (gather(tb) for tb in tables)
             atime = k.astype(f64) * jnp.where(tg > 0.0, STEPP, -STEPP)

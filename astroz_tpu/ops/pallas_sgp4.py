@@ -276,18 +276,26 @@ def _kernel_fused_sep(grav, kepler_iters, ah_ref, al_ref, fields_ref,
 
 @functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
                                              "time_block", "sat_block",
-                                             "interpret"))
+                                             "interpret", "planes"))
 def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
                               grav: GravityModel, kepler_iters: int = 5,
                               time_block: int = TIME_BLOCK,
                               sat_block: int = SAT_BLOCK,
-                              interpret: bool = False
+                              interpret: bool = False,
+                              planes: bool = False
                               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused Pallas propagate with a separable time grid:
     ``tsince[t, s] = t_time[t] - t_sat[s]`` (minutes). Used by the
     catalog layer where ``t_time = (jd + fr) * 1440`` and ``t_sat =
     epoch_jd * 1440`` — the per-lane epoch subtraction happens in
-    double-f32 inside the kernel, so the XLA prologue is O(T + S)."""
+    double-f32 inside the kernel, so the XLA prologue is O(T + S).
+
+    With ``planes=True``, returns the raw PADDED kernel output planes
+    ``(x, y, z, vx, vy, vz, err)``, each ``(tt, ss)`` — callers that
+    scatter deep-space results in must do it on these planes and stack
+    afterwards: stacking to ``(..., 3)`` first forces XLA to
+    materialize the minor-dim-3 layout and every later op on it pays
+    full relayout copies (measured ~6 ms per 233 MB plane set)."""
     t_time = jnp.asarray(t_time)
     t_sat = jnp.asarray(t_sat)
     n_times = t_time.shape[0]
@@ -346,6 +354,8 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
             interpret=interpret,
         )(ah, al, fields, simp, err0)
 
+    if planes:
+        return outs
     # stack-then-trim in one expression so XLA fuses the pad-trim
     # slice into the stack instead of copying each plane twice
     r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]

@@ -174,7 +174,7 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     ``engine`` selects the per-shard kernel ('pallas' on TPU when
     available, 'xla' otherwise).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops.fast import propagate_fast
     from ..propagation import _finalize, default_engine
@@ -228,7 +228,7 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
                        in_specs=(els_specs, deep_specs, grid_spec,
                                  time_spec),
                        out_specs=(grid_spec, grid_spec, grid_spec),
-                       check_rep=False)
+                       check_vma=False)
         r, v, err = jax.jit(fn)(scat.els, scat.deep, tsince, jd_sum)
     else:
         def shard_fn(els, ts, js):
@@ -244,7 +244,7 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
         fn = shard_map(shard_fn, mesh=mesh,
                        in_specs=(els_specs, grid_spec, time_spec),
                        out_specs=(grid_spec, grid_spec, grid_spec),
-                       check_rep=False)
+                       check_vma=False)
         r, v, err = jax.jit(fn)(scat.els, tsince, jd_sum)
 
     r = r[:n_times, :n_real]

@@ -272,15 +272,40 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 resonance_steps=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the (static) deep subset, scattered
-    back into the full grid."""
-    r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
-                                engine)
+    back into the full grid.
+
+    On the Pallas engine the deep results are scattered into the raw
+    per-component (time, sat) kernel output planes BEFORE stacking to
+    ``(..., 3)``: scattering after the stack forces XLA to materialize
+    the minor-dim-3 layout and pay relayout copies on every plane
+    (measured +17.6 ms on the 13478x1440 grid vs ~1.5 ms this way)."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
     r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep, grav,
                                      resonance_steps=resonance_steps)
-    r = r.at[:, deep_idx, :].set(r_d)
-    v = v.at[:, deep_idx, :].set(v_d)
-    err = err.at[:, deep_idx].set(err_d)
+    kw = dict(unique_indices=True, indices_are_sorted=True)
+    if engine == "pallas":
+        from .ops.pallas_sgp4 import propagate_fast_pallas_sep
+        n_times = t_time.shape[0]
+        n_sats = t_sat.shape[0]
+        planes = list(propagate_fast_pallas_sep(
+            els, t_time, t_sat, grav, kepler_iters=kepler_iters,
+            planes=True))
+        nt = slice(None, n_times)
+        for c in range(3):
+            planes[c] = planes[c].at[nt, deep_idx].set(
+                r_d[..., c].astype(planes[c].dtype), **kw)
+            planes[3 + c] = planes[3 + c].at[nt, deep_idx].set(
+                v_d[..., c].astype(planes[3 + c].dtype), **kw)
+        planes[6] = planes[6].at[nt, deep_idx].set(err_d, **kw)
+        r = jnp.stack(planes[0:3], axis=-1)[:n_times, :n_sats]
+        v = jnp.stack(planes[3:6], axis=-1)[:n_times, :n_sats]
+        err = planes[6][:n_times, :n_sats]
+    else:
+        r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
+                                    engine)
+        r = r.at[:, deep_idx, :].set(r_d, **kw)
+        v = v.at[:, deep_idx, :].set(v_d, **kw)
+        err = err.at[:, deep_idx].set(err_d, **kw)
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 

@@ -110,7 +110,7 @@ import functools as _functools
 def _sharded_coarse_fn(mesh1, block: int):
     """Cached jitted shard_map for the sharded coarse pass — a fresh
     closure per block would retrace/recompile every call."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def fn(r_loc, rsq_loc, j0):
@@ -119,7 +119,7 @@ def _sharded_coarse_fn(mesh1, block: int):
 
     mapped = shard_map(fn, mesh=mesh1,
                        in_specs=(P("scr"), P("scr"), P()),
-                       out_specs=P(None, None), check_rep=False)
+                       out_specs=P(None, None), check_vma=False)
     return jax.jit(mapped)
 
 
@@ -129,7 +129,7 @@ def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
     ``lax.pmin`` collective merges shards — the only communication in
     the whole screen (SURVEY §2.6: all-vs-all needs a cross-device
     reduction; everything else is embarrassingly parallel)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     devs = mesh.devices.reshape(-1)
@@ -255,3 +255,160 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
         tmin[c0:c1] = np.asarray(t)[:c1 - c0]
     hit = dmin < threshold_km
     return ci[hit], cj[hit], dmin[hit].astype(np.float64), tmin[hit]
+
+
+# ---------------------------------------------------------------------------
+# Ring-pass multi-chip all-vs-all screening
+# ---------------------------------------------------------------------------
+
+
+@_functools.lru_cache(maxsize=8)
+def _ring_screen_fn(mesh1, B: int):
+    """Cached jitted shard_map for the ring coarse pass.
+
+    Each device owns one satellite block (T, B, 3). ``lax.ppermute``
+    rotates the blocks around the ring; at step k device ``me`` holds
+    the block originally owned by ``(me - k) % D`` and reduces a
+    (B, B) min-over-time Gram-expansion distance tile against its own
+    rows, thresholding on device. Per-device memory is O(T*B) for the
+    positions and O(D*B^2) booleans for the hit mask — never the full
+    (T, N, 3) tensor (SURVEY §5: the ring all-gather of position
+    shards is the one communication-heavy kernel of the rebuild)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh1.devices.size
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def fn(r_loc, rsq_loc, thr2):
+        def tile_min(rj, rjsq):
+            def step(dmin, inputs):
+                rt, rsqt, rjt, rjsqt = inputs
+                # K=3 contraction as component products (see
+                # _coarse_block_min: a (B,3)@(3,B) matmul would waste
+                # the MXU at 3/128 utilization)
+                cross = (rt[:, 0:1] * rjt[None, :, 0]
+                         + rt[:, 1:2] * rjt[None, :, 1]
+                         + rt[:, 2:3] * rjt[None, :, 2])
+                d2 = rsqt[:, None] + rjsqt[None, :] - 2.0 * cross
+                return jnp.minimum(dmin, d2), None
+
+            init = jnp.full((B, B), jnp.inf, jnp.float32)
+            dmin, _ = jax.lax.scan(step, init,
+                                   (r_loc, rsq_loc, rj, rjsq))
+            return dmin
+
+        def body(state, _):
+            rj, rjsq = state
+            hits = tile_min(rj, rjsq) <= thr2
+            rj = jax.lax.ppermute(rj, "sats", perm)
+            rjsq = jax.lax.ppermute(rjsq, "sats", perm)
+            return (rj, rjsq), hits
+
+        _, hits = jax.lax.scan(body, (r_loc, rsq_loc), None,
+                               length=n_dev)
+        return hits[None]  # (1, D, B, B) -> global (D, D, B, B)
+
+    mapped = shard_map(fn, mesh=mesh1,
+                       in_specs=(P(None, "sats"), P(None, "sats"), P()),
+                       out_specs=P("sats"), check_vma=False)
+    return jax.jit(mapped)
+
+
+def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
+                    threshold_km: float = 5.0, mesh, method: str = "fast",
+                    max_pairs: int = 10_000_000):
+    """All-vs-all conjunction screen sharded over the satellite axis.
+
+    The multi-chip form of :func:`screen_all`: positions are computed
+    shard-resident (each device propagates its own satellite block),
+    the coarse pass rotates position blocks around the device ring with
+    ``lax.ppermute`` keeping per-device memory O(N/D), and the refine
+    runs on the gathered candidate subset only (O(candidates), not
+    O(N)). Functionality matches the reference's single-node
+    coarse_screen (conjunction.zig:11-138); the distribution strategy
+    is SURVEY §2.6's stated TPU design.
+
+    Returns ``(i, j, min_dist_km, t_index)`` like :func:`screen_all`.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from .parallel.mesh import make_mesh, propagate_sharded_fast
+
+    devs = mesh.devices.reshape(-1)
+    n_dev = len(devs)
+    mesh1 = Mesh(devs, ("sats",))
+    n = len(cat)
+
+    # positions, computed sharded over the sat axis (zero collectives)
+    prop_mesh = make_mesh(devs, time_parallel=1)
+    if method == "fast":
+        r, _, err = propagate_sharded_fast(cat, jd, fr, mesh=prop_mesh,
+                                           output="teme")
+    else:
+        from .parallel.mesh import propagate_sharded
+        r, _, err = propagate_sharded(cat, jd, fr, mesh=prop_mesh,
+                                      output="teme")
+
+    n_times = r.shape[0]
+    block = -(-n // n_dev)  # ceil: satellites per device
+    n_pad = block * n_dev - n
+    sharding = NamedSharding(mesh1, P(None, "sats", None))
+
+    @partial(jax.jit, static_argnames=("pad",),
+             out_shardings=(sharding, NamedSharding(mesh1, P(None, "sats"))))
+    def park_and_pad(r, err, pad: int):
+        r = jnp.asarray(r, jnp.float32)
+        bad = (err != 0)[..., None]
+        park = (_PAD_POS + 1.0e6 * jnp.arange(
+            r.shape[1] + pad, dtype=jnp.float32))[None, :, None]
+        r = jnp.where(bad, park[:, :r.shape[1]], r)
+        if pad:
+            r = jnp.concatenate(
+                [r, jnp.broadcast_to(park[:, r.shape[1]:],
+                                     (n_times, pad, 3))], axis=1)
+        return r, jnp.sum(r * r, axis=-1)
+
+    r, rsq = park_and_pad(r, err, n_pad)
+
+    # guard band over real satellites only (see screen_all)
+    max_rsq = float(jnp.max(rsq[:, :n]))
+    guard = 8.0 * np.finfo(np.float32).eps * max_rsq
+    thr2 = jnp.float32(threshold_km * threshold_km + guard)
+
+    fn = _ring_screen_fn(mesh1, block)
+    hits = np.asarray(fn(r, rsq, thr2))  # (D, D, B, B) bool
+
+    me, k, row, col = np.nonzero(hits)
+    ci = me * block + row
+    cj = ((me - k) % n_dev) * block + col
+    keep = (ci < cj) & (cj < n)
+    ci, cj = ci[keep], cj[keep]
+    if ci.size > max_pairs:
+        ci, cj = ci[:max_pairs], cj[:max_pairs]
+    if ci.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64), np.empty(0, np.int64))
+
+    # refine on the candidate subset only: gather the unique candidate
+    # columns (cross-shard gather handled by GSPMD), then exact
+    # direct-difference distances
+    us, inv = np.unique(np.concatenate([ci, cj]), return_inverse=True)
+    ii_l, jj_l = inv[:ci.size], inv[ci.size:]
+    r_sub = jax.device_put(r[:, jnp.asarray(us), :], jax.devices()[0])
+
+    dmin = np.empty(ci.size, np.float32)
+    tmin = np.empty(ci.size, np.int64)
+    chunk_cap = max(1 << 12, (1 << 26) // max(n_times, 1))
+    for c0 in range(0, ci.size, chunk_cap):
+        c1 = min(c0 + chunk_cap, ci.size)
+        pad = 1 << max(6, math.ceil(math.log2(c1 - c0)))
+        ii = np.zeros(pad, np.int64)
+        jj = np.zeros(pad, np.int64)
+        ii[:c1 - c0], jj[:c1 - c0] = ii_l[c0:c1], jj_l[c0:c1]
+        d, t = _refine_pairs(r_sub, jnp.asarray(ii), jnp.asarray(jj), pad)
+        dmin[c0:c1] = np.asarray(d)[:c1 - c0]
+        tmin[c0:c1] = np.asarray(t)[:c1 - c0]
+    hit = dmin < threshold_km
+    return (ci[hit].astype(np.int64), cj[hit].astype(np.int64),
+            dmin[hit].astype(np.float64), tmin[hit])

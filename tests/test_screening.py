@@ -126,6 +126,51 @@ def test_screen_all_sharded_matches_single(shell_cat, times):
     np.testing.assert_allclose(sd, md, atol=1e-9)
 
 
+def test_screen_all_ring_matches_single():
+    """Ring-pass sat-sharded screen (ppermute over an 8-device mesh,
+    O(N/D) memory per device) must reproduce the single-device screen
+    on a >=4096-satellite catalog (VERDICT r1 item 5)."""
+    from astroz_tpu.parallel import make_mesh
+    from astroz_tpu.screening import screen_all_ring
+
+    cat = build_catalog(synthetic_leo_text(4096, seed=7))
+    epoch = cat.epochs_jd[0]
+    times = epoch + np.linspace(0.0, 0.1, 24)
+    thr = 25.0
+
+    si, sj, sd, st = screen_all(cat, times, threshold_km=thr, block=512)
+    ri, rj, rd, rt = screen_all_ring(cat, times, threshold_km=thr,
+                                     mesh=make_mesh())
+    assert len(si) > 0
+
+    def sort_by_pair(i, j, d, t):
+        order = np.lexsort((j, i))
+        return i[order], j[order], d[order], t[order]
+
+    si, sj, sd, st = sort_by_pair(si, sj, sd, st)
+    ri, rj, rd, rt = sort_by_pair(ri, rj, rd, rt)
+    np.testing.assert_array_equal(si, ri)
+    np.testing.assert_array_equal(sj, rj)
+    np.testing.assert_allclose(sd, rd, atol=1e-9)
+    np.testing.assert_array_equal(st, rt)
+
+
+def test_screen_all_ring_mixed_catalog():
+    """Ring screen handles mixed shallow/deep catalogs and uneven
+    shard padding (n not divisible by device count)."""
+    from astroz_tpu.parallel import make_mesh
+    from astroz_tpu.screening import screen_all_ring
+
+    cat = build_catalog(MIXED_TEXT)  # small, not a multiple of 8
+    epoch = cat.epochs_jd[0]
+    times = epoch + np.linspace(0, 0.5, 24)
+    si, sj, sd, st = screen_all(cat, times, threshold_km=10.0, block=8)
+    ri, rj, rd, rt = screen_all_ring(cat, times, threshold_km=10.0,
+                                     mesh=make_mesh())
+    assert set(zip(si.tolist(), sj.tolist())) == \
+        set(zip(ri.tolist(), rj.tolist()))
+
+
 def test_failed_satellites_do_not_screen_each_other():
     """Two decayed satellites must not report a 0-km conjunction
     (regression: failed lanes shared one far-away pad position)."""
