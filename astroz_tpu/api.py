@@ -57,6 +57,7 @@ class Satrec:
     def __init__(self):
         self._cat: Optional[SatCatalog] = None
         self._tle: Optional[_tle.Tle] = None
+        self._scalar = None
         self.error = 0
         self.t = 0.0
 
@@ -100,15 +101,40 @@ class Satrec:
 
     # ---- propagation ------------------------------------------------------
 
+    def _scalar_record(self):
+        """Lazily-built scalar record for single-point calls: one
+        device dispatch costs ~1 ms while the pure-CPU scalar engine
+        (ops/scalar.py) answers in tens of microseconds — the TPU
+        shape of the reference's 2.5M props/s Python loop path
+        (README.md:84-86, satrec.zig:169-201)."""
+        if self._scalar is None:
+            from .ops import scalar
+            g = self._cat.grav
+            gc = scalar.GravConsts(g.mu, g.radius_earth_km, g.xke,
+                                   g.tumin, g.j2, g.j3, g.j4, g.j3oj2)
+            els = self._cat.els
+            self._scalar = scalar.sgp4init(
+                gc, float(els.epoch_jd[0]), float(els.bstar[0]),
+                float(els.ecco[0]), float(els.argpo[0]),
+                float(els.inclo[0]), float(els.mo[0]),
+                float(els.no_kozai[0]), float(els.nodeo[0]))
+        return self._scalar
+
     def sgp4(self, jd: float, fr: float
              ) -> Tuple[int, Tuple[float, float, float],
                         Tuple[float, float, float]]:
         """Propagate to jd+fr. Returns (error, r_teme_km, v_teme_km_s)."""
-        e, r, v = self._sgp4_many(np.asarray([jd]), np.asarray([fr]))
-        self.error = int(e[0])
         self.t = ((jd - self.jdsatepoch) + (fr - self.jdsatepochF)) \
             * MINUTES_PER_DAY
-        return int(e[0]), tuple(map(float, r[0])), tuple(map(float, v[0]))
+        init_err = int(self._cat.init_errors[0])
+        if init_err:
+            # init-time failure: match the batch path's zero-fill
+            self.error = init_err
+            return init_err, (0.0, 0.0, 0.0), (0.0, 0.0, 0.0)
+        from .ops import scalar
+        e, r, v = scalar.sgp4(self._scalar_record(), self.t)
+        self.error = e
+        return e, r, v
 
     def sgp4_tsince(self, tsince: float):
         """Propagate to minutes since epoch (python-sgp4 parity)."""

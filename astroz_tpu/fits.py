@@ -130,6 +130,20 @@ class Hdu:
             return self._ascii_table()
         raise FitsError(f"HDU {self.index} is not a table ({self.kind})")
 
+    def image_as_table(self) -> Dict[str, np.ndarray]:
+        """Represent a 2-D image HDU as (x, y, value) columns — the
+        reference's readImageAsTable CSV layout (Fits.zig:268-344)."""
+        if self.kind != "image":
+            raise FitsError(f"HDU {self.index} is not an image"
+                            f" ({self.kind})")
+        arr = self.image()
+        if arr.ndim != 2:
+            raise FitsError("image_as_table needs a 2-D image")
+        h, w = arr.shape
+        y, x = np.mgrid[0:h, 0:w]
+        return {"x": x.ravel(), "y": y.ravel(),
+                "value": arr.ravel()}
+
     def _binary_table(self) -> Dict[str, np.ndarray]:
         n_rows = int(self.header["NAXIS2"])
         row_len = int(self.header["NAXIS1"])
@@ -286,3 +300,48 @@ def image_to_pgm(arr: np.ndarray, path: str, *,
     with open(path, "wb") as f:
         f.write(f"P5\n{img.shape[1]} {img.shape[0]}\n255\n".encode())
         f.write(img.tobytes())
+
+
+def _asinh_stretch(arr: np.ndarray, stretch: float, bend: float
+                   ) -> np.ndarray:
+    """Percentile-clipped asinh stretch to [0, 1] — the reference's
+    display transfer curve (Fits.zig:346-394: clip at the 0.05% / 99.75%
+    percentiles, then asinh((x-bend)/s) / asinh((1-bend)/s) * 0.5+0.5)."""
+    a = np.asarray(arr, np.float64)
+    flat = np.sort(a.ravel())
+    vmin = flat[len(flat) // 2000]
+    vmax = flat[len(flat) * 1995 // 2000]
+    span = vmax - vmin if vmax > vmin else 1.0
+    x = np.clip((a - vmin) / span, 0.0, 1.0)
+    out = (np.arcsinh((x - bend) / stretch)
+           / np.arcsinh((1.0 - bend) / stretch) * 0.5 + 0.5)
+    return np.clip(out, 0.0, 1.0)
+
+
+def image_to_png(arr: np.ndarray, path: str, *, stretch: float = 0.15,
+                 bend: float = 0.5) -> None:
+    """Export a 2-D image to an 8-bit grayscale PNG with the
+    percentile-clip + asinh stretch of the reference's readImage
+    (Fits.zig:219-266,346-394). Dependency-free: the PNG container is
+    written directly (zlib is in the standard library)."""
+    import struct
+    import zlib
+
+    a = np.asarray(arr)
+    if a.ndim != 2:
+        raise FitsError("PNG export needs a 2-D image")
+    img = (_asinh_stretch(a, stretch, bend) * 255.0).astype(np.uint8)
+    h, w = img.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    # filter byte 0 (None) before each scanline
+    raw = b"".join(b"\x00" + img[row].tobytes() for row in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit gray
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", ihdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 9)))
+        f.write(chunk(b"IEND", b""))

@@ -24,8 +24,11 @@ class CcsdsConfig:
     @classmethod
     def from_json(cls, text: str) -> "CcsdsConfig":
         obj = json.loads(text)
-        return cls(secondary_header_length=int(
-            obj.get("secondary_header_length", 0)))
+        # the reference's config JSON uses camelCase
+        # (examples/create_ccsds_packet_config.json); accept both
+        val = obj.get("secondary_header_length",
+                      obj.get("secondaryHeaderLength", 0))
+        return cls(secondary_header_length=int(val))
 
 
 class CcsdsError(ValueError):

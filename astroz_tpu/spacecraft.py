@@ -20,8 +20,8 @@ from .calculations import (propagate_attitude, rotmat_to_quaternion,
                            state_to_elements, tle_to_elements,
                            elements_to_state, triad)
 from .constants import EARTH
-from .propagators import Composite, Drag, J2, Rk4, TwoBody
-from .propagators.driver import Propagator
+from .propagators import Composite, Drag, J2, TwoBody
+from .propagators.driver import propagate_fixed
 from .tle import Tle
 
 log = logging.getLogger(__name__)
@@ -169,7 +169,7 @@ class Spacecraft:
         early with a warning on abnormal orbits."""
         if self.state is None:
             raise ValueError("spacecraft has no initial state")
-        prop = Propagator(Rk4(self._forces()))
+        forces = self._forces()
         t_end = t0 + days * 86400.0
         events = sorted([i for i in impulses if t0 <= i.time <= t_end],
                         key=lambda i: i.time)
@@ -180,7 +180,11 @@ class Spacecraft:
         for imp in events + [None]:
             seg_end = t_end if imp is None else imp.time
             if seg_end > t:
-                ts, ss = prop.propagate(state, t, seg_end - t, h)
+                # one lax.scan program per inter-impulse segment (a
+                # per-step Python loop would pay one device dispatch
+                # per RK4 step — minutes on a remote TPU)
+                ts, ss = propagate_fixed(forces, state, t, seg_end - t, h)
+                ss = np.asarray(ss)
                 # per-step abnormal-orbit guard (Spacecraft.zig:218-223):
                 # truncate at the first bad state and stop
                 rn = np.linalg.norm(ss[:, :3], axis=-1)

@@ -31,13 +31,22 @@ _J2000_JD = 2451545.0
 _SPD = 86400.0
 
 #: standard NAIF kernel set (Spice.zig:117-125); fetch with
-#: scripts/fetch_kernels.py on a machine with network access
+#: :func:`fetch_kernels` on a machine with network access
 DEFAULT_KERNELS = (
     "naif0012.tls",       # leapseconds
     "de440s.bsp",         # planetary ephemeris
     "pck00011.tpc",       # planetary constants
-    "earth_latest_high_prec.bpc",
+    "gm_de440.tpc",       # gravitational parameters
 )
+
+#: NAIF download paths for the standard set (build.zig:252-275)
+_NAIF_BASE = "https://naif.jpl.nasa.gov/pub/naif/generic_kernels/"
+_KERNEL_PATHS = {
+    "naif0012.tls": "lsk/naif0012.tls",
+    "de440s.bsp": "spk/planets/de440s.bsp",
+    "pck00011.tpc": "pck/pck00011.tpc",
+    "gm_de440.tpc": "pck/gm_de440.tpc",
+}
 
 
 class SpiceNotEnabled(RuntimeError):
@@ -88,6 +97,36 @@ def load_default_kernels(directory: str) -> List[str]:
             _spice.furnsh(p)
             loaded.append(p)
     return loaded
+
+
+def fetch_kernels(directory: str = "data/kernels",
+                  kernels: Optional[List[str]] = None,
+                  timeout: float = 120.0) -> List[str]:
+    """Download the standard NAIF kernel set into ``directory``
+    (reference: the ``zig build fetch-kernels`` step,
+    build.zig:252-275). Existing files are kept; returns the paths
+    that are present after the call. Needs network access — raises
+    ``URLError``/``OSError`` offline, leaving whatever was already
+    fetched in place."""
+    import urllib.request
+
+    os.makedirs(directory, exist_ok=True)
+    present = []
+    for name in kernels if kernels is not None else DEFAULT_KERNELS:
+        dest = os.path.join(directory, name)
+        if not os.path.exists(dest):
+            url = _NAIF_BASE + _KERNEL_PATHS.get(name, name)
+            tmp = dest + ".part"
+            with urllib.request.urlopen(url, timeout=timeout) as resp, \
+                    open(tmp, "wb") as out:
+                while True:
+                    chunk = resp.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            os.replace(tmp, dest)
+        present.append(dest)
+    return present
 
 
 def unload_all() -> None:

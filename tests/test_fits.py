@@ -122,6 +122,53 @@ def test_pgm_export(tmp_path):
         assert len(raw) == len(b"P5\n16 16\n255\n") + 256
 
 
+def test_image_as_table(tmp_path):
+    """Image HDU exposed as (x, y, value) columns — the reference's
+    readImageAsTable CSV layout (Fits.zig:268-344)."""
+    img = np.arange(12, dtype=np.int16).reshape(3, 4)
+    p = tmp_path / "img.fits"
+    make_image_fits(str(p), img)
+    cols = open_and_parse(str(p))[0].image_as_table()
+    assert set(cols) == {"x", "y", "value"}
+    assert len(cols["x"]) == 12
+    # row-major: pixel (x=2, y=1) is flat index 1*4+2
+    k = 1 * 4 + 2
+    assert cols["x"][k] == 2 and cols["y"][k] == 1
+    assert cols["value"][k] == img[1, 2] * 2.0 + 100.0  # BSCALE/BZERO
+
+
+def test_png_export(tmp_path):
+    """PNG container is well-formed and the decoded scanlines match
+    the asinh-stretched input (Fits.zig:219,346-394)."""
+    import struct
+    import zlib
+
+    from astroz_tpu.fits import _asinh_stretch, image_to_png
+
+    img = np.random.default_rng(1).uniform(0, 1000, (8, 5))
+    out = tmp_path / "img.png"
+    image_to_png(img, str(out))
+    raw = out.read_bytes()
+    assert raw.startswith(b"\x89PNG\r\n\x1a\n")
+    # walk chunks
+    pos, chunks = 8, {}
+    while pos < len(raw):
+        (length,), tag = struct.unpack(">I", raw[pos:pos + 4]), \
+            raw[pos + 4:pos + 8]
+        payload = raw[pos + 8:pos + 8 + length]
+        assert struct.unpack(">I", raw[pos + 8 + length:pos + 12 + length]
+                             )[0] == zlib.crc32(tag + payload)
+        chunks[tag] = payload
+        pos += 12 + length
+    w, h, depth, color = struct.unpack(">IIBB", chunks[b"IHDR"][:10])
+    assert (w, h, depth, color) == (5, 8, 8, 0)
+    lines = zlib.decompress(chunks[b"IDAT"])
+    decoded = np.frombuffer(lines, np.uint8).reshape(8, 6)
+    assert (decoded[:, 0] == 0).all()  # filter byte None
+    expect = (_asinh_stretch(img, 0.15, 0.5) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(decoded[:, 1:], expect)
+
+
 def test_endtime_keyword_not_mistaken_for_end(tmp_path):
     """Regression: header keywords starting with END (e.g. ENDTIME)
     truncated the header."""

@@ -91,6 +91,19 @@ def test_geodetic_output_is_sane(mixed_cat):
     assert 35000 < alt[2] < 36500
 
 
+def test_geodetic_velocities_are_ecef(mixed_cat):
+    """Geodetic output returns positions as (lat, lon, alt) but
+    velocities stay in the ECEF frame (documented contract, matching
+    the reference's Constellation geodetic mode which rotates
+    velocities by GMST only — Constellation.zig:489-507)."""
+    epoch = mixed_cat.epochs_jd[0]
+    jd = np.array([epoch, epoch + 0.01])
+    _, v_geo, _ = propagate(mixed_cat, jd, output="geodetic")
+    _, v_ecef, _ = propagate(mixed_cat, jd, output="ecef")
+    np.testing.assert_allclose(np.asarray(v_geo), np.asarray(v_ecef),
+                               atol=1e-12)
+
+
 def test_scan_times_matches_dense(mixed_cat):
     """Carry-scan path vs dense restart path (the carry-vs-fresh
     convergence invariant, Sdp4Batch.zig:603-629)."""
