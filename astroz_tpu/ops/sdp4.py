@@ -27,6 +27,7 @@ Sdp4.zig:344-499, dsinit at :525-657, dpper at :681-759, dspace at
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -293,8 +294,10 @@ def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_):
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnames=("grav",))
 def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
-    """Deep-space init for a whole catalog at once.
+    """Deep-space init for a whole catalog at once (jitted: one XLA
+    program instead of one remote dispatch per elementwise op).
 
     Computes dscom/dsinit for every satellite densely, then zeroes all
     coefficients where ``~els.is_deep`` so that near-earth lanes are

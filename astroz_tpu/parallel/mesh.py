@@ -212,6 +212,25 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     grid_spec = P("time", "sat")
     time_spec = P("time", None)
 
+    # Place inputs explicitly: catalog arrays may arrive committed to a
+    # single device (catalog_from_elements runs init on the host CPU and
+    # pins the result), and committed single-device inputs conflict with
+    # a multi-device shard_map jit.
+    sat_sh = NamedSharding(mesh, sat_spec)
+
+    def _place_sat(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.device_put(x, sat_sh)
+        return x
+
+    scat = SatCatalog(
+        els=jax.tree_util.tree_map(_place_sat, scat.els),
+        deep=(jax.tree_util.tree_map(_place_sat, scat.deep)
+              if scat.deep is not None else None),
+        grav=scat.grav, satnum=scat.satnum, names=None)
+    tsince = jax.device_put(tsince, NamedSharding(mesh, grid_spec))
+    jd_sum = jax.device_put(jd_sum, NamedSharding(mesh, time_spec))
+
     els_specs = jax.tree_util.tree_map(lambda _: sat_spec, scat.els)
     if scat.deep is not None:
         deep_specs = jax.tree_util.tree_map(lambda _: sat_spec, scat.deep)

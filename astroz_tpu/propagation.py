@@ -152,11 +152,16 @@ def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
             names = tuple(t.name for t in tles)
             arrays = TleArrays.from_tles(tles)
 
-    els = sgp4_init(
-        grav,
-        no_kozai=arrays.no_kozai, ecco=arrays.ecco, inclo=arrays.inclo,
-        nodeo=arrays.nodeo, argpo=arrays.argpo, mo=arrays.mo,
-        bstar=arrays.bstar, epoch_jd=arrays.epoch_jd)
+    # Init runs on the host CPU backend: it is one-shot O(n_sats) math
+    # (microseconds), while compiling it for a remote TPU costs minutes
+    # of compile-service latency. The finished catalog is device_put to
+    # the default backend once (catalog_from_elements).
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        els = sgp4_init(
+            grav,
+            no_kozai=arrays.no_kozai, ecco=arrays.ecco, inclo=arrays.inclo,
+            nodeo=arrays.nodeo, argpo=arrays.argpo, mo=arrays.mo,
+            bstar=arrays.bstar, epoch_jd=arrays.epoch_jd)
     return catalog_from_elements(els, grav, np.asarray(arrays.satnum),
                                  names=names)
 
@@ -166,22 +171,37 @@ def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
                           names: Optional[Tuple[Optional[str], ...]] = None
                           ) -> SatCatalog:
     """Finish catalog construction from initialized SGP4 elements:
-    deep-space init + static deep-lane partition for the fast path."""
-    any_deep = bool(np.asarray(els.is_deep).any())
-    deep = sdp4_init(grav, els) if any_deep else None
-    if satnum is None:
-        satnum = np.arange(len(np.asarray(els.no_kozai)), dtype=np.int64)
+    deep-space init + static deep-lane partition for the fast path.
 
-    deep_idx = els_deep = deep_sub = None
-    if any_deep:
-        deep_idx = np.nonzero(np.asarray(els.is_deep))[0]
-        idx = jnp.asarray(deep_idx)
+    All init math runs on the host CPU backend (one-shot O(n_sats)
+    work; compiling it for a remote TPU costs minutes of
+    compile-service latency), then the finished pytrees are device_put
+    to the default backend once so the hot propagate paths never pay
+    host->device transfers per call."""
+    cpu0 = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu0):
+        els = jax.device_put(els, cpu0)
+        any_deep = bool(np.asarray(els.is_deep).any())
+        deep = sdp4_init(grav, els) if any_deep else None
+        if satnum is None:
+            satnum = np.arange(len(np.asarray(els.no_kozai)),
+                               dtype=np.int64)
 
-        def take(x):
-            return x[idx] if getattr(x, "ndim", 0) else x
+        deep_idx = els_deep = deep_sub = None
+        if any_deep:
+            deep_idx = np.nonzero(np.asarray(els.is_deep))[0]
+            idx = jnp.asarray(deep_idx)
 
-        els_deep = jax.tree_util.tree_map(take, els)
-        deep_sub = jax.tree_util.tree_map(take, deep)
+            def take(x):
+                return x[idx] if getattr(x, "ndim", 0) else x
+
+            els_deep = jax.tree_util.tree_map(take, els)
+            deep_sub = jax.tree_util.tree_map(take, deep)
+
+    default = jax.devices()[0]
+    if default != cpu0:
+        els, deep, els_deep, deep_sub = jax.device_put(
+            (els, deep, els_deep, deep_sub), default)
     return SatCatalog(els=els, deep=deep, grav=grav, satnum=satnum,
                       names=names, deep_idx=deep_idx, els_deep=els_deep,
                       deep_sub=deep_sub)

@@ -144,6 +144,12 @@ def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
         rsq = jnp.concatenate(
             [rsq, jnp.broadcast_to(rsq[-1:], (tpad,) + rsq.shape[1:])])
 
+    # place explicitly: inputs may arrive committed to one device (the
+    # catalog init pins arrays to the host CPU), which conflicts with a
+    # multi-device shard_map jit
+    from jax.sharding import NamedSharding
+    r = jax.device_put(r, NamedSharding(mesh1, P("scr")))
+    rsq = jax.device_put(rsq, NamedSharding(mesh1, P("scr")))
     fn = _sharded_coarse_fn(mesh1, block)
     return fn(r, rsq, jnp.asarray(j0, jnp.int32))
 

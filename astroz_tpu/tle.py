@@ -107,6 +107,91 @@ class Tle:
 
 _XPDOTP = 1440.0 / TWO_PI  # rev/day -> rad/min conversion divisor
 
+_ALPHA5_REV = {v: k for k, v in _ALPHA5.items()}
+
+
+def format_satnum(satnum: int) -> str:
+    """5-character satellite number field, Alpha-5 above 99999."""
+    if satnum < 100000:
+        return f"{satnum:5d}"
+    hi, lo = divmod(satnum, 10000)
+    try:
+        return f"{_ALPHA5_REV[hi]}{lo:04d}"
+    except KeyError:
+        raise TleError(f"satnum {satnum} out of Alpha-5 range") from None
+
+
+def checksum(line: str) -> int:
+    """TLE modulo-10 checksum over the first 68 columns (digits count
+    their value, '-' counts 1)."""
+    s = 0
+    for c in line[:68]:
+        if c.isdigit():
+            s += int(c)
+        elif c == "-":
+            s += 1
+    return s % 10
+
+
+def _format_implied_decimal(x: float) -> str:
+    """Inverse of :func:`_parse_implied_decimal`: 8-char
+    's MMMMM sE' assumed-decimal-point field (e.g. -0.11606e-4 ->
+    '-11606-4')."""
+    if x == 0.0:
+        return " 00000+0"
+    sign = "-" if x < 0 else " "
+    ax = abs(x)
+    exp = int(np.floor(np.log10(ax))) + 1
+    mant = int(round(ax / 10.0 ** exp * 1e5))
+    if mant >= 100000:  # rounding bumped the exponent
+        mant //= 10
+        exp += 1
+    if not -9 <= exp <= 9:
+        raise TleError(f"value {x} not representable in a TLE field")
+    return f"{sign}{mant:05d}{exp:+d}"
+
+
+def format_lines(*, satnum: int, epoch_jd: float, ecco: float,
+                 inclo_deg: float, nodeo_deg: float, argpo_deg: float,
+                 mo_deg: float, no_rev_day: float, bstar: float = 0.0,
+                 ndot_rev_day2: float = 0.0, nddot_rev_day3: float = 0.0,
+                 classification: str = "U", intldesg: str = "",
+                 elnum: int = 999, revnum: int = 0
+                 ) -> Tuple[str, str]:
+    """Format a TLE line pair (the writer the reference synthesizes in
+    its OMM->TLE path, bindings __init__.py:203-279, generalized to any
+    element source). Angles in degrees, mean motion in rev/day, ndot as
+    the printed half-value in rev/day^2. Output round-trips through
+    :func:`parse_lines` (test-gated)."""
+    from .time import jd_to_datetime_parts, month_day_to_doy
+
+    y, mo_, d, hh, mm, ss = jd_to_datetime_parts(epoch_jd)
+    doy = month_day_to_doy(y, mo_, d)
+    frac = (hh * 3600.0 + mm * 60.0 + ss) / 86400.0
+    epoch_field = f"{y % 100:02d}{doy + frac:012.8f}"
+
+    nd = ndot_rev_day2
+    if abs(nd) >= 1.0:
+        raise TleError("|ndot| must be < 1 rev/day^2 in TLE format")
+    # ' .NNNNNNNN' (sign + 9 chars, leading zero dropped)
+    ndot_field = ("-" if nd < 0 else " ") + f"{abs(nd):.8f}"[1:]
+
+    l1 = (f"1 {format_satnum(satnum)}{classification[:1] or 'U'} "
+          f"{intldesg:<8.8s} {epoch_field} {ndot_field} "
+          f"{_format_implied_decimal(nddot_rev_day3)} "
+          f"{_format_implied_decimal(bstar)} 0 {elnum % 10000:4d}")
+    l1 += str(checksum(l1))
+
+    ecc_field = f"{ecco:.7f}"[2:9]
+    l2 = (f"2 {format_satnum(satnum)} {inclo_deg % 360.0:8.4f} "
+          f"{nodeo_deg % 360.0:8.4f} {ecc_field} {argpo_deg % 360.0:8.4f} "
+          f"{mo_deg % 360.0:8.4f} {no_rev_day:11.8f}{revnum % 100000:5d}")
+    l2 += str(checksum(l2))
+    if len(l1) != 69 or len(l2) != 69:
+        raise TleError(
+            f"internal: formatted lengths {len(l1)}/{len(l2)} != 69")
+    return l1, l2
+
 
 def parse_lines(line1: str, line2: str, name: Optional[str] = None) -> Tle:
     """Parse a TLE line pair using the standard fixed columns."""

@@ -112,3 +112,50 @@ def test_tle_arrays():
     assert arr.no_kozai.shape == (3,)
     assert arr.satnum.dtype == np.int64
     np.testing.assert_allclose(arr.ecco, 0.000358)
+
+
+def test_format_lines_roundtrip_randomized():
+    """format_lines -> parse_lines round-trips every field across a
+    randomized element population (incl. Alpha-5 satnums and negative
+    bstar), and the native C++ parser agrees on the formatted text."""
+    import numpy as np
+
+    from astroz_tpu.tle import TleArrays, format_lines, parse_lines
+
+    rng = np.random.default_rng(3)
+    n = 200
+    lines = []
+    recs = []
+    for k in range(n):
+        rec = dict(
+            satnum=int(rng.integers(1, 339999)),
+            epoch_jd=float(2460000.5 + rng.uniform(0, 365)),
+            ecco=float(rng.uniform(0, 0.8)),
+            inclo_deg=float(rng.uniform(0, 180)),
+            nodeo_deg=float(rng.uniform(0, 360)),
+            argpo_deg=float(rng.uniform(0, 360)),
+            mo_deg=float(rng.uniform(0, 360)),
+            no_rev_day=float(rng.uniform(0.9, 17.0)),
+            bstar=float(rng.uniform(-1e-3, 1e-2)),
+            ndot_rev_day2=float(rng.uniform(-1e-4, 1e-3)),
+        )
+        l1, l2 = format_lines(**rec)
+        t = parse_lines(l1, l2)
+        assert t.satnum == rec["satnum"]
+        assert abs(t.epoch_jd - rec["epoch_jd"]) < 1e-7  # ~10 ms
+        assert abs(t.ecco - rec["ecco"]) < 1e-7
+        assert abs(np.degrees(t.inclo) - rec["inclo_deg"]) < 1e-4
+        assert abs(t.no_kozai * 1440 / (2 * np.pi)
+                   - rec["no_rev_day"]) < 1e-7
+        assert abs(t.bstar - rec["bstar"]) < abs(rec["bstar"]) * 1e-4 + 1e-12
+        lines += [l1, l2]
+        recs.append(rec)
+
+    text = "\n".join(lines)
+    nat = TleArrays.from_text(text, allow_native=True)
+    py = TleArrays.from_text(text, allow_native=False)
+    assert len(nat) == len(py) == n
+    for field in ("satnum", "epoch_jd", "no_kozai", "ecco", "inclo",
+                  "nodeo", "argpo", "mo", "bstar"):
+        np.testing.assert_allclose(getattr(nat, field),
+                                   getattr(py, field), rtol=0, atol=1e-12)
