@@ -176,6 +176,59 @@ def _resonance_tables(deep: DeepElements, els: Sgp4Elements, n_steps: int):
                  for f, b in zip(fwd, bwd))
 
 
+def _resonance_from_tables(deep: DeepElements, els: Sgp4Elements, t,
+                           resonance_steps: Optional[int]):
+    """Table-form resonance integration: integrate the 720-min
+    Euler-Maclaurin recurrence ONCE per satellite (see
+    :func:`_resonance_tables`), then each grid point selects its step
+    row. The step index reproduces the while-loop exit rule
+    ``|t - atime| < STEPP`` from atime = 0: ``k = floor(|t| / STEPP)``.
+    The default depth covers ~32 days either side of epoch; the catalog
+    layer passes the exact host-known horizon (propagation.py). Each
+    extra step costs O(n_sats), so generous depths are cheap.
+
+    Returns ``(nm_res, xl)`` f64 grids broadcast over
+    ``(t, n_sats)`` — meaningful on resonant lanes only.
+    """
+    f64 = els.no_kozai.dtype
+    n_steps = resonance_steps if resonance_steps is not None else 64
+    tables = _resonance_tables(deep, els, n_steps)
+    shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
+    tg = jnp.broadcast_to(t, shape)
+    k = jnp.minimum((jnp.abs(tg) // STEPP).astype(jnp.int32),
+                    jnp.int32(n_steps))
+    idx = k + jnp.where(tg < 0.0, jnp.int32(n_steps + 1), jnp.int32(0))
+    # Row selection is a statically-unrolled where-chain, NOT a
+    # take_along_axis gather: per-element gathers lower to a serialized
+    # TPU gather op that measured ~400x slower than the fused
+    # elementwise selects (98.5 ms vs 0.25 ms for the 1440x667 grid) —
+    # the table is tiny along the step axis, so selects fuse into one
+    # elementwise pass. Past ~256 rows (horizons beyond ~90 days) the
+    # unroll would bloat compile time, so fall back to the gather; long
+    # monotone grids should use the scan-carry path instead.
+    n_rows = 2 * (n_steps + 1)
+    if n_rows <= 256:
+        def gather(tbl):
+            out = jnp.broadcast_to(tbl[0], shape)
+            for row in range(1, n_rows):
+                out = jnp.where(idx == row, tbl[row], out)
+            return out
+    else:
+        n_sats = deep.xlamo.shape[0]
+        idx2 = idx.reshape(-1, n_sats)
+
+        def gather(tbl):
+            g = jnp.take_along_axis(tbl, idx2, axis=0)
+            return g.reshape(shape)
+
+    xli, xni, xndt, xldot, xnddt = (gather(tb) for tb in tables)
+    atime = k.astype(f64) * jnp.where(tg > 0.0, STEPP, -STEPP)
+    ft = tg - atime
+    nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
+    xl = xli + xldot * ft + xndt * ft * ft * 0.5
+    return nm_res, xl
+
+
 def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     """f32 equinoctial Kepler: fixed-trip Newton with polynomial sincos.
 
@@ -200,6 +253,18 @@ def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     return eo1, sineo1, coseo1
 
 
+#: per-satellite f32 coefficient names _dpper_core consumes (order is
+#: the Pallas field-matrix row order)
+DPPER_FIELD_NAMES = ("zmos", "se2", "se3", "si2", "si3", "sl2", "sl3",
+                     "sl4", "sgh2", "sgh3", "sgh4", "sh2", "sh3",
+                     "zmol", "ee2", "e3", "xi2", "xi3", "xl2", "xl3",
+                     "xl4", "xgh2", "xgh3", "xgh4", "xh2", "xh3")
+
+
+def _dpper_f32_fields(deep: DeepElements):
+    return {name: _f32(getattr(deep, name)) for name in DPPER_FIELD_NAMES}
+
+
 def _dpper_fast(deep: DeepElements, t32, ep, inclp, sin_node, cos_node,
                 nodep, mp, argpp, u_sum, apply_mask):
     """f32 lunisolar periodics (reference: Sdp4.zig:681-759).
@@ -210,32 +275,43 @@ def _dpper_fast(deep: DeepElements, t32, ep, inclp, sin_node, cos_node,
     re-accumulates f32 rounding. Lyddane path handled via the same
     dense select as ops.sdp4.dpper.
     """
+    return _dpper_core(t32, ep, inclp, sin_node, cos_node, nodep, mp,
+                       argpp, u_sum, apply_mask, **_dpper_f32_fields(deep))
+
+
+def _dpper_core(t32, ep, inclp, sin_node, cos_node, nodep, mp, argpp,
+                u_sum, apply_mask, *, zmos, se2, se3, si2, si3, sl2, sl3,
+                sl4, sgh2, sgh3, sgh4, sh2, sh3, zmol, ee2, e3, xi2, xi3,
+                xl2, xl3, xl4, xgh2, xgh3, xgh4, xh2, xh3):
+    """_dpper_fast with the coefficients already f32 — shared between
+    the XLA path and the Pallas deep kernel (which streams them as rows
+    of a field matrix)."""
+    from .fastmath import fast_atan2
+
     # solar then lunar terms
-    zm = _f32(deep.zmos) + _f32(ZNS) * t32
+    zm = zmos + _f32(ZNS) * t32
     szm, _ = sincos(zm)
     zf = zm + 2.0 * _f32(ZES) * szm
     sinzf, coszf = sincos(zf)
     f2 = 0.5 * sinzf * sinzf - 0.25
     f3 = -0.5 * sinzf * coszf
-    ses = _f32(deep.se2) * f2 + _f32(deep.se3) * f3
-    sis = _f32(deep.si2) * f2 + _f32(deep.si3) * f3
-    sls = _f32(deep.sl2) * f2 + _f32(deep.sl3) * f3 + _f32(deep.sl4) * sinzf
-    sghs = (_f32(deep.sgh2) * f2 + _f32(deep.sgh3) * f3
-            + _f32(deep.sgh4) * sinzf)
-    shs = _f32(deep.sh2) * f2 + _f32(deep.sh3) * f3
+    ses = se2 * f2 + se3 * f3
+    sis = si2 * f2 + si3 * f3
+    sls = sl2 * f2 + sl3 * f3 + sl4 * sinzf
+    sghs = sgh2 * f2 + sgh3 * f3 + sgh4 * sinzf
+    shs = sh2 * f2 + sh3 * f3
 
-    zm = _f32(deep.zmol) + _f32(ZNL) * t32
+    zm = zmol + _f32(ZNL) * t32
     szm, _ = sincos(zm)
     zf = zm + 2.0 * _f32(ZEL) * szm
     sinzf, coszf = sincos(zf)
     f2 = 0.5 * sinzf * sinzf - 0.25
     f3 = -0.5 * sinzf * coszf
-    sel = _f32(deep.ee2) * f2 + _f32(deep.e3) * f3
-    sil = _f32(deep.xi2) * f2 + _f32(deep.xi3) * f3
-    sll = _f32(deep.xl2) * f2 + _f32(deep.xl3) * f3 + _f32(deep.xl4) * sinzf
-    sghl = (_f32(deep.xgh2) * f2 + _f32(deep.xgh3) * f3
-            + _f32(deep.xgh4) * sinzf)
-    shll = _f32(deep.xh2) * f2 + _f32(deep.xh3) * f3
+    sel = ee2 * f2 + e3 * f3
+    sil = xi2 * f2 + xi3 * f3
+    sll = xl2 * f2 + xl3 * f3 + xl4 * sinzf
+    sghl = xgh2 * f2 + xgh3 * f3 + xgh4 * sinzf
+    shll = xh2 * f2 + xh3 * f3
 
     pe = ses + sel
     pinc = sis + sil
@@ -259,7 +335,7 @@ def _dpper_fast(deep: DeepElements, t32, ep, inclp, sin_node, cos_node,
     # Lyddane path (inclination < 0.2)
     alfdp = sinip * sin_node + ph * cos_node + pinc * cosip * sin_node
     betdp = sinip * cos_node - ph * sin_node + pinc * cosip * cos_node
-    nodep_l = jnp.arctan2(alfdp, betdp)
+    nodep_l = fast_atan2(alfdp, betdp)
     far = jnp.abs(nodep - nodep_l) > _f32(PI)
     nodep_l = jnp.where(far & (nodep_l < nodep), nodep_l + _f32(TWO_PI),
                         jnp.where(far & (nodep_l >= nodep),
@@ -334,16 +410,29 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
         + jnp.zeros_like(u_base)
     sinip, cosip = sincos(inclo + jnp.zeros_like(u_base))
 
+    return _kepler_posvel_f32(grav, kepler_iters, u_base, am, am_safe, nm,
+                              em, argpp, sin_node, cos_node, sinip, cosip,
+                              aycof, xlcof, con41, x1mth2, x7thm1, error)
+
+
+def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
+                       am_safe, nm, ep, argpp, sin_node, cos_node, sinip,
+                       cosip, aycof, xlcof, con41, x1mth2, x7thm1, error):
+    """Long-period terms -> Kepler -> short-period -> TEME components,
+    all f32 (Sgp4.zig:646-750). The common back half of the near-earth
+    and deep-space tails (the reference likewise routes SDP4 through
+    ``Sgp4.keplerAndPosVel``, Sdp4.zig:1280-1411)."""
     # ---- long-period terms + Kepler (Sgp4.zig:646-750) -------------------
     sin_argpp, cos_argpp = sincos(argpp)
-    axnl = em * cos_argpp
-    temp_lp = 1.0 / (am_safe * (1.0 - em * em))
-    aynl = em * sin_argpp + temp_lp * aycof
-    u_kep = _wrap_two_pi_f32(u_base + temp_lp * xlcof * axnl)
+    axnl = ep * cos_argpp
+    temp_lp = 1.0 / (am_safe * (1.0 - ep * ep))
+    aynl = ep * sin_argpp + temp_lp * aycof
+    u_kep = _wrap_two_pi_f32(u + temp_lp * xlcof * axnl)
     eo1, sineo1, coseo1 = solve_kepler_fast(u_kep, axnl, aynl,
                                             iters=kepler_iters)
 
     # ---- short-period corrections + position/velocity --------------------
+    xke32 = _f32(grav.xke)
     ecose = axnl * coseo1 + aynl * sineo1
     esine = axnl * sineo1 - aynl * coseo1
     el2 = axnl * axnl + aynl * aynl
@@ -479,53 +568,8 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     if deep is not None:
         resonant = deep.irez != 0
         if carry is None:
-            # Table form: integrate the 720-min Euler-Maclaurin
-            # recurrence ONCE per satellite (see _resonance_tables),
-            # then each grid point gathers its step row. The step index
-            # reproduces the while-loop exit rule |t - atime| < STEPP
-            # from atime = 0: k = floor(|t| / STEPP).
-            # default depth covers ~32 days either side of epoch; the
-            # catalog layer passes the exact host-known horizon
-            # (propagation.py). Each extra step costs O(n_sats), so
-            # generous depths are cheap.
-            n_steps = (resonance_steps if resonance_steps is not None
-                       else 64)
-            tables = _resonance_tables(deep, els, n_steps)
-            shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
-            tg = jnp.broadcast_to(t, shape)
-            k = jnp.minimum((jnp.abs(tg) // STEPP).astype(jnp.int32),
-                            jnp.int32(n_steps))
-            idx = k + jnp.where(tg < 0.0, jnp.int32(n_steps + 1),
-                                jnp.int32(0))
-            # Row selection is a statically-unrolled where-chain, NOT a
-            # take_along_axis gather: per-element gathers lower to a
-            # serialized TPU gather op that measured ~400x slower than
-            # the fused elementwise selects (98.5 ms vs 0.25 ms for the
-            # 1440x667 grid) — the table is tiny along the step axis,
-            # so selects fuse into one elementwise pass. Past ~256 rows
-            # (horizons beyond ~90 days) the unroll would bloat compile
-            # time, so fall back to the gather; long monotone grids
-            # should use the scan-carry path instead.
-            n_rows = 2 * (n_steps + 1)
-            if n_rows <= 256:
-                def gather(tbl):
-                    out = jnp.broadcast_to(tbl[0], shape)
-                    for row in range(1, n_rows):
-                        out = jnp.where(idx == row, tbl[row], out)
-                    return out
-            else:
-                n_sats = deep.xlamo.shape[0]
-                idx2 = idx.reshape(-1, n_sats)
-
-                def gather(tbl):
-                    g = jnp.take_along_axis(tbl, idx2, axis=0)
-                    return g.reshape(shape)
-
-            xli, xni, xndt, xldot, xnddt = (gather(tb) for tb in tables)
-            atime = k.astype(f64) * jnp.where(tg > 0.0, STEPP, -STEPP)
-            ft = tg - atime
-            nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
-            xl = xli + xldot * ft + xndt * ft * ft * 0.5
+            nm_res, xl = _resonance_from_tables(deep, els, t,
+                                                resonance_steps)
         else:
             # carry form: resume the integration point-wise from the
             # provided state (reference restart rule, Sdp4.zig:787-791)
@@ -809,3 +853,132 @@ def spine_df32(t_hi, t_lo, u0h, u0l, udh, udl, c2h, c2l, c3, c4, c5,
     argp32 = reduce_two_pi_f32(ago32 + agdot32 * t32)
     node32 = reduce_two_pi_f32(no32 + t32 * (ndot32 + ncf32 * t32))
     return t32, u32, mm32, argp32, node32, xmdf32
+
+
+# ---------------------------------------------------------------------------
+# Deep-subset spine + tail — the statically-partitioned fast path
+# (propagation.py routes the deep lanes here; every lane is deep, so
+# is_deep masks vanish and isimp is always set — deep space forces
+# isimp=1 at init, Sgp4.zig:120-123 + sgp4.py:172)
+# ---------------------------------------------------------------------------
+
+
+#: per-satellite f32 field rows the deep tail consumes, in Pallas
+#: field-matrix order
+DEEP_FIELD_NAMES = ("cc1", "bstar", "cc4", "ecco", "inclo", "dedt",
+                    "didt") + DPPER_FIELD_NAMES
+
+
+def deep_f32_fields(els: Sgp4Elements, deep: DeepElements):
+    """The per-satellite f32 field bundle deep_tail_f32 consumes."""
+    d = dict(cc1=_f32(els.cc1), bstar=_f32(els.bstar), cc4=_f32(els.cc4),
+             ecco=_f32(els.ecco), inclo=_f32(els.inclo),
+             dedt=_f32(deep.dedt), didt=_f32(deep.didt),
+             error0=els.error)
+    d.update(_dpper_f32_fields(deep))
+    return d
+
+
+def deep_spine_f64(els: Sgp4Elements, deep: DeepElements, t,
+                   resonance_steps: Optional[int] = None):
+    """The f64 angle spine for an all-deep satellite subset: secular +
+    lunisolar-secular angle accumulation and the table-form resonance
+    integration, reduced mod 2pi and cast to f32 (the deep analogue of
+    :func:`spine_f64`; reference: dspace secular update,
+    Sdp4.zig:774-820 + 881-970).
+
+    Returns ``(t32, u_base, mm, argp32, node32, nm_deep)``.
+    """
+    two_pi = TWO_PI
+    xmdf = els.mo + (els.mdot + deep.dmdt) * t
+    argpdf = els.argpo + (els.argpdot + deep.domdt) * t
+    t2 = t * t
+    nodem64 = els.nodeo + (els.nodedot + deep.dnodt) * t + els.nodecf * t2
+    # deep lanes are always isimp: only the t2cof term survives
+    templ_big = els.no_unkozai * t2 * els.t2cof
+
+    resonant = deep.irez != 0
+    nm_res, xl = _resonance_from_tables(deep, els, t, resonance_steps)
+    theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
+    mm_geo = xl - nodem64 - argpdf + theta
+    mm_half = xl - 2.0 * nodem64 + 2.0 * theta
+    mm_res = jnp.where(deep.irez == 1, mm_geo, mm_half)
+    mm_spine = jnp.where(resonant, mm_res, xmdf)
+    nm_res64 = jnp.where(resonant, nm_res,
+                         els.no_unkozai + jnp.zeros_like(xmdf))
+    mm_spine = mm_spine + templ_big
+
+    u_base = jnp.remainder(mm_spine + argpdf, two_pi)
+    return (_f32(t) + jnp.zeros(jnp.shape(u_base), F32),
+            _f32(u_base),
+            _f32(jnp.remainder(mm_spine, two_pi)),
+            _f32(jnp.remainder(argpdf, two_pi)),
+            _f32(jnp.remainder(nodem64, two_pi)),
+            _f32(nm_res64))
+
+
+def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
+                  argp32, node32, nm_deep, *, cc1, bstar, cc4, ecco,
+                  inclo, dedt, didt, error0, **dpper_coeffs):
+    """The f32 deep-space tail: simplified drag -> lunisolar periodics
+    (dpper) -> per-point inclination coefficients -> Kepler ->
+    short-period -> TEME (reference: Sdp4.zig propagateElementsCarry
+    :881-970 after dspace). Shared between the XLA partitioned path and
+    the Pallas deep kernel (ops/pallas_sgp4.py), exactly like
+    :func:`shallow_tail_f32`."""
+    error = error0 + jnp.zeros(jnp.shape(u_base), jnp.int32)
+    xke32 = _f32(grav.xke)
+
+    # ---- simplified drag (isimp always set on deep lanes) ---------------
+    tempa = 1.0 - cc1 * t32
+    tempe = bstar * cc4 * t32
+
+    # ---- semi-major axis / mean motion from the resonance nm ------------
+    from .fastmath import pow23
+    bad_nm = nm_deep <= 0.0
+    error = jnp.where(bad_nm & (error == 0), jnp.int32(2), error)
+    a_base = pow23(xke32 / jnp.where(bad_nm, 1e-8, nm_deep))
+    am = a_base * tempa * tempa
+    am_safe = jnp.where(am > 0.0, am, 1.0)
+    nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
+
+    em = ecco - tempe + dedt * t32
+    inclm = inclo + didt * t32
+    error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0),
+                      jnp.int32(1), error)
+    em = jnp.minimum(jnp.maximum(em, 1.0e-6), 0.999999)
+
+    # ---- lunisolar periodics + node -------------------------------------
+    nodem = node32 + jnp.zeros_like(u_base)
+    sin_node, cos_node = sincos(nodem)
+    argpp = argp32 + jnp.zeros_like(u_base)
+    ep, xincp, nodem, sin_node, cos_node, argpp, u = _dpper_core(
+        t32, em, inclm, sin_node, cos_node, nodem, mm, argpp, u_base,
+        True, **dpper_coeffs)
+    neg_inc = xincp < 0.0
+    xincp = jnp.abs(xincp)
+    # inclination flip: node += pi, argp -= pi — and u = mp + argp
+    # shifts by -pi with it
+    sin_node = jnp.where(neg_inc, -sin_node, sin_node)
+    cos_node = jnp.where(neg_inc, -cos_node, cos_node)
+    argpp = jnp.where(neg_inc, argpp - _f32(PI), argpp)
+    u = jnp.where(neg_inc, u - _f32(PI), u)
+    error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0),
+                      jnp.int32(3), error)
+    ep = jnp.minimum(jnp.maximum(ep, 1e-12), 0.999999)
+
+    # ---- per-point inclination-dependent coefficients -------------------
+    sinip, cosip = sincos(xincp)
+    j3oj2 = _f32(grav.j3oj2)
+    aycof = -0.5 * j3oj2 * sinip
+    near180 = jnp.abs(cosip + 1.0) > 1.5e-12
+    denom = jnp.where(near180, 1.0 + cosip, 1.5e-12)
+    xlcof = -0.25 * j3oj2 * sinip * (3.0 + 5.0 * cosip) / denom
+    cosisq = cosip * cosip
+    con41 = 3.0 * cosisq - 1.0
+    x1mth2 = 1.0 - cosisq
+    x7thm1 = 7.0 * cosisq - 1.0
+
+    return _kepler_posvel_f32(grav, kepler_iters, u, am, am_safe, nm, ep,
+                              argpp, sin_node, cos_node, sinip, cosip,
+                              aycof, xlcof, con41, x1mth2, x7thm1, error)

@@ -82,6 +82,41 @@ def angle_add(sin_a, cos_a, delta):
             cos_a * cd - sin_a * sd)
 
 
+#: odd-polynomial atan on [-1, 1], degree 15 (least-squares fit computed
+#: for this module; max err 1.2e-7 exact, ~2e-7 evaluated in f32 — the
+#: f32 rounding floor). The analogue of the reference's polynomial
+#: atan2N (simdMath.zig:124-177, ~1e-7 rad).
+_AT = (0.9999994161665577, -0.33330223078054766, 0.1995111999819918,
+       -0.1393327926026066, 0.09709489254190584, -0.05688293268565614,
+       0.022568342982102904, -0.004257856903975933)
+_HALF_PI = 1.5707963267948966
+_PI = 3.141592653589793
+
+
+def fast_atan2(y, x):
+    """Branchless polynomial atan2 for f32 inputs (range (-pi, pi]).
+
+    Octant folding (z = min/max ratio in [0, 1]) + the degree-15 odd
+    minimax polynomial + quadrant fixup masks — Mosaic-lowerable (no
+    transcendental intrinsics). atan2(0, 0) returns 0.
+    """
+    abs_y = jnp.abs(y)
+    abs_x = jnp.abs(x)
+    swap = abs_y > abs_x
+    num = jnp.where(swap, abs_x, abs_y)
+    den = jnp.where(swap, abs_y, abs_x)
+    den = jnp.where(den > 0.0, den, 1.0)
+    z = num / den
+    z2 = z * z
+    a = _AT[7]
+    for c in reversed(_AT[:7]):
+        a = c + z2 * a
+    a = z * a
+    a = jnp.where(swap, _HALF_PI - a, a)
+    a = jnp.where(x < 0.0, _PI - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
 def fast_cbrt(x):
     """cbrt(x) for x > 0 via exponent-third bit trick + 2 Newton steps.
 

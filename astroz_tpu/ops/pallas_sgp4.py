@@ -362,3 +362,111 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
     v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
     err = outs[6][:n_times, :n_sats]
     return r, v, err
+
+
+# ---------------------------------------------------------------------------
+# Deep-space kernel: the statically-partitioned deep subset's f32 tail
+# (drag -> dpper -> per-point inclination coeffs -> Kepler -> TEME) as a
+# fused VMEM-resident kernel. The f64 deep spine (secular angles + the
+# table-form resonance integration) stays in XLA — it is O(grid) cheap
+# f64 work + O(n_sats * steps) table building (fast.py:deep_spine_f64).
+# ---------------------------------------------------------------------------
+
+from .fast import DEEP_FIELD_NAMES, deep_f32_fields, deep_spine_f64, \
+    deep_tail_f32
+
+#: deep subsets are small (~5% of a real catalog), so tile narrower to
+#: bound pad waste; lanes must stay a multiple of 128
+DEEP_SAT_BLOCK = 256
+
+
+def _kernel_deep(grav, kepler_iters, t_ref, ub_ref, mm_ref, ar_ref,
+                 no_ref, nm_ref, fields_ref, err0_ref, rx_ref, ry_ref,
+                 rz_ref, vx_ref, vy_ref, vz_ref, err_ref):
+    f = {name: fields_ref[i, :] for i, name in enumerate(DEEP_FIELD_NAMES)}
+    f["error0"] = err0_ref[0, :]
+    rx, ry, rz, vx, vy, vz, err = deep_tail_f32(
+        grav, kepler_iters, t_ref[:], ub_ref[:], mm_ref[:], ar_ref[:],
+        no_ref[:], nm_ref[:], **f)
+    rx_ref[:] = rx
+    ry_ref[:] = ry
+    rz_ref[:] = rz
+    vx_ref[:] = vx
+    vy_ref[:] = vy
+    vz_ref[:] = vz
+    err_ref[:] = err
+
+
+@functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
+                                             "resonance_steps",
+                                             "time_block", "sat_block",
+                                             "interpret", "planes"))
+def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
+                          grav: GravityModel, kepler_iters: int = 8,
+                          resonance_steps: Optional[int] = None,
+                          time_block: int = TIME_BLOCK,
+                          sat_block: int = DEEP_SAT_BLOCK,
+                          interpret: bool = False, planes: bool = False
+                          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Deep-subset dense-grid propagate through the Pallas engine.
+
+    Every satellite must be deep-space (the catalog layer's static
+    partition guarantees this). ``tsince``: (n_times, 1) or
+    (n_times, n_sats) f64 minutes. Returns (r, v, error) like the XLA
+    deep path (``propagate_fast`` with all-deep elements); with
+    ``planes=True`` returns the raw padded component planes for the
+    plane-scatter merge (see propagate_fast_pallas_sep).
+    """
+    t = jnp.asarray(tsince)
+    n_sats = els.no_kozai.shape[0]
+    n_times = t.shape[0]
+
+    # f64 deep spine in XLA (fused), producing six f32 (T, S) grids
+    grids = [jnp.broadcast_to(g, (n_times, n_sats))
+             for g in deep_spine_f64(els, deep, t, resonance_steps)]
+
+    fdict = deep_f32_fields(els, deep)
+    fields = jnp.stack([fdict[n] for n in DEEP_FIELD_NAMES])
+    err0 = fdict["error0"].astype(jnp.int32)[None, :]
+
+    tp = (-n_times) % time_block
+    sp = (-n_sats) % sat_block
+    if tp or sp:
+        grids = [jnp.pad(g, ((0, tp), (0, sp))) for g in grids]
+        # benign pad: zero coeffs, nm pad lanes already 0 in the grid
+        # would flag error 2 — error planes are trimmed anyway
+        fields = jnp.pad(fields, ((0, 0), (0, sp)))
+        err0 = jnp.pad(err0, ((0, 0), (0, sp)))
+    tt, ss = n_times + tp, n_sats + sp
+
+    def col_map(i, j):
+        return (i - i, j)
+
+    grid_spec = pl.GridSpec(
+        grid=(tt // time_block, ss // sat_block),
+        in_specs=[pl.BlockSpec((time_block, sat_block),
+                               lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec((len(DEEP_FIELD_NAMES), sat_block), col_map,
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((1, sat_block), col_map,
+                        memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((time_block, sat_block),
+                                lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 7,
+    )
+    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    outs = pl.pallas_call(
+        functools.partial(_kernel_deep, grav, kepler_iters),
+        out_shape=[shape_f] * 6 + [shape_i],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(*grids, fields, err0)
+
+    if planes:
+        return outs
+    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
+    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
+    err = outs[6][:n_times, :n_sats]
+    return r, v, err

@@ -300,27 +300,33 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
     the minor-dim-3 layout and pay relayout copies on every plane
     (measured +17.6 ms on the 13478x1440 grid vs ~1.5 ms this way)."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
-    r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep, grav,
-                                     resonance_steps=resonance_steps)
     kw = dict(unique_indices=True, indices_are_sorted=True)
     if engine == "pallas":
-        from .ops.pallas_sgp4 import propagate_fast_pallas_sep
+        from .ops.pallas_sgp4 import (propagate_deep_pallas,
+                                      propagate_fast_pallas_sep)
         n_times = t_time.shape[0]
         n_sats = t_sat.shape[0]
+        # deep subset through its own fused kernel (f64 spine +
+        # resonance tables in XLA, f32 tail in Pallas); plane-to-plane
+        # scatter — nothing ever materializes a minor-dim-3 layout
+        n_deep = t_sat_deep.shape[0]
+        d_planes = propagate_deep_pallas(
+            els_deep, deep_sub, tsince_deep, grav,
+            resonance_steps=resonance_steps, planes=True)
         planes = list(propagate_fast_pallas_sep(
             els, t_time, t_sat, grav, kepler_iters=kepler_iters,
             planes=True))
         nt = slice(None, n_times)
-        for c in range(3):
+        for c in range(7):
             planes[c] = planes[c].at[nt, deep_idx].set(
-                r_d[..., c].astype(planes[c].dtype), **kw)
-            planes[3 + c] = planes[3 + c].at[nt, deep_idx].set(
-                v_d[..., c].astype(planes[3 + c].dtype), **kw)
-        planes[6] = planes[6].at[nt, deep_idx].set(err_d, **kw)
+                d_planes[c][:n_times, :n_deep], **kw)
         r = jnp.stack(planes[0:3], axis=-1)[:n_times, :n_sats]
         v = jnp.stack(planes[3:6], axis=-1)[:n_times, :n_sats]
         err = planes[6][:n_times, :n_sats]
     else:
+        r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep,
+                                         grav,
+                                         resonance_steps=resonance_steps)
         r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
                                     engine)
         r = r.at[:, deep_idx, :].set(r_d, **kw)

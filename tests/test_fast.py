@@ -215,3 +215,51 @@ def test_fast_negative_inclination_flip_matches_f64():
     dr = np.linalg.norm(np.asarray(r64) - np.asarray(r32, np.float64),
                         axis=-1)
     assert dr.max() < 0.2, f"{dr.max():.3f} km"
+
+
+def test_pallas_deep_kernel_interpret_matches_xla():
+    """The deep-subset Pallas kernel (interpret mode on CPU) vs the XLA
+    deep fast path and the f64 reference, across all three irez regimes
+    including a high-e half-day stress lane. The two fast paths share
+    deep_tail_f32, so their mutual difference is f32 Kepler-iteration
+    sensitivity only (largest near e ~ 0.74); both must stay inside the
+    fast-path budget vs f64."""
+    from astroz_tpu.constants import TWO_PI, WGS72
+    from astroz_tpu.ops.sgp4 import sgp4_init
+    from astroz_tpu.ops.sdp4 import sdp4_init
+    from astroz_tpu.ops.pallas_sgp4 import propagate_deep_pallas
+
+    rng = np.random.default_rng(7)
+    n = 70  # non-multiple of the sat block to exercise padding
+    kind = rng.integers(0, 3, n)
+    rev_day = np.where(kind == 0, rng.normal(1.0027, 1e-4, n),
+                       np.where(kind == 1, rng.uniform(1.9, 2.1, n),
+                                rng.uniform(0.9, 1.8, n)))
+    ecco = np.where(kind == 0, rng.uniform(1e-4, 5e-4, n),
+                    np.where(kind == 1, rng.uniform(0.5, 0.74, n),
+                             rng.uniform(0.01, 0.3, n)))
+    inclo = np.where(kind == 0, rng.uniform(0.0, 0.1, n),
+                     rng.uniform(0.3, 1.2, n))
+    els = sgp4_init(
+        WGS72, no_kozai=rev_day * TWO_PI / 1440.0, ecco=ecco, inclo=inclo,
+        nodeo=rng.uniform(0, TWO_PI, n), argpo=rng.uniform(0, TWO_PI, n),
+        mo=rng.uniform(0, TWO_PI, n), bstar=rng.uniform(-1e-5, 1e-4, n),
+        epoch_jd=np.full(n, 2460310.5))
+    assert bool(np.asarray(els.is_deep).all())
+    deep = sdp4_init(WGS72, els)
+    t = jnp.asarray(np.linspace(-1440.0, 1440.0, 37))[:, None]
+
+    r64, _, e64, _ = sdp4_propagate(els, deep, t, WGS72)
+    r0, v0, e0 = propagate_fast(els, deep, t, WGS72, resonance_steps=4)
+    r1, v1, e1 = propagate_deep_pallas(els, deep, t, WGS72,
+                                       resonance_steps=4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+    np.testing.assert_array_equal(np.asarray(e64), np.asarray(e1))
+    ok = np.asarray(e64) == 0
+    d_mutual = np.linalg.norm(
+        np.asarray(r0, np.float64) - np.asarray(r1, np.float64),
+        axis=-1)[ok]
+    d_vs_f64 = np.linalg.norm(
+        np.asarray(r64) - np.asarray(r1, np.float64), axis=-1)[ok]
+    assert d_mutual.max() < 0.06, f"{d_mutual.max():.4f} km"
+    assert d_vs_f64.max() < 0.1, f"{d_vs_f64.max():.4f} km"
