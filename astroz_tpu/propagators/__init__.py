@@ -11,14 +11,15 @@ scan-compatible so batched Monte-Carlo propagation is one XLA program.
 from .forces import (Composite, Drag, ImprovedDrag, J2, J3, J4,
                      SolarRadiationPressure, ThirdBody, TwoBody,
                      earth_default_forces)
-from .integrators import (DormandPrince87, Rk4, Sgp4Integrator, dp87_step,
-                          rk4_step)
+from .integrators import (DormandPrince87, Rk4, Sgp4Integrator,
+                          dp87_adaptive, dp87_step, make_deriv, rk4_step)
 from .driver import Propagator, propagate_fixed, propagate_numerical
 
 __all__ = [
     "TwoBody", "J2", "J3", "J4", "Drag", "ImprovedDrag",
     "SolarRadiationPressure", "ThirdBody", "Composite",
     "earth_default_forces", "Rk4", "DormandPrince87", "Sgp4Integrator",
-    "rk4_step", "dp87_step", "Propagator", "propagate_fixed",
+    "rk4_step", "dp87_step", "dp87_adaptive", "make_deriv",
+    "Propagator", "propagate_fixed",
     "propagate_numerical",
 ]
