@@ -324,7 +324,8 @@ def _dpper_core(t32, ep, inclp, sin_node, cos_node, nodep, mp, argpp,
     sinip, cosip = sincos(inclp_new)
 
     # normal path (inclination >= 0.2)
-    sin_safe = jnp.where(jnp.abs(sinip) > 1e-12, sinip, 1e-12)
+    sin_safe = jnp.where(jnp.abs(sinip) > _f32(1e-12), sinip,
+                         _f32(1e-12))
     ph_n = ph / sin_safe
     pgh_n = pgh - cosip * ph_n
     argpp_n = argpp + pgh_n
@@ -393,12 +394,12 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
              - d4 * t2_32 * t2_32)
     sin_mm, _unused = sincos(mm_drag)
     tempe = bstar * cc4 * t32 + jnp.where(
-        not_simp, bstar * cc5 * (sin_mm - sinmao), 0.0)
+        not_simp, bstar * cc5 * (sin_mm - sinmao), _f32(0.0))
 
     # ---- semi-major axis / mean motion -----------------------------------
     xke32 = _f32(grav.xke)
     am = a * tempa * tempa
-    am_safe = jnp.where(am > 0.0, am, 1.0)
+    am_safe = jnp.where(am > 0.0, am, _f32(1.0))
     nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
 
     em = ecco - tempe
@@ -438,7 +439,7 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     el2 = axnl * axnl + aynl * aynl
     pl = am * (1.0 - el2)
     error = jnp.where((pl < 0.0) & (error == 0), jnp.int32(4), error)
-    pl_safe = jnp.where(pl > 0.0, pl, 1.0)
+    pl_safe = jnp.where(pl > 0.0, pl, _f32(1.0))
 
     rl = am * (1.0 - ecose)
     rdotl = jnp.sqrt(am_safe) * esine / rl
@@ -476,9 +477,10 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     vkmpersec = _f32(grav.radius_earth_km * grav.xke / 60.0)
     error = jnp.where((mrt < 1.0) & (error == 0), jnp.int32(6), error)
     ok = error == 0
-    mrt_re = jnp.where(ok, mrt * re, 0.0)
-    mvt_s = jnp.where(ok, vkmpersec * mvt, 0.0)
-    rvdot_s = jnp.where(ok, vkmpersec * rvdot, 0.0)
+    zero = _f32(0.0)
+    mrt_re = jnp.where(ok, mrt * re, zero)
+    mvt_s = jnp.where(ok, vkmpersec * mvt, zero)
+    rvdot_s = jnp.where(ok, vkmpersec * rvdot, zero)
     return (mrt_re * ux, mrt_re * uy, mrt_re * uz,
             mvt_s * ux + rvdot_s * vx_,
             mvt_s * uy + rvdot_s * vy_,
@@ -741,7 +743,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     el2 = axnl * axnl + aynl * aynl
     pl = am * (1.0 - el2)
     error = jnp.where((pl < 0.0) & (error == 0), jnp.int32(4), error)
-    pl_safe = jnp.where(pl > 0.0, pl, 1.0)
+    pl_safe = jnp.where(pl > 0.0, pl, _f32(1.0))
 
     rl = am * (1.0 - ecose)
     rdotl = jnp.sqrt(am_safe) * esine / rl
@@ -937,9 +939,11 @@ def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
     from .fastmath import pow23
     bad_nm = nm_deep <= 0.0
     error = jnp.where(bad_nm & (error == 0), jnp.int32(2), error)
-    a_base = pow23(xke32 / jnp.where(bad_nm, 1e-8, nm_deep))
+    # jnp.float32 literal: a bare 1e-8 in the where materializes as f64
+    # under x64, which Mosaic cannot lower (see CLAUDE.md)
+    a_base = pow23(xke32 / jnp.where(bad_nm, jnp.float32(1e-8), nm_deep))
     am = a_base * tempa * tempa
-    am_safe = jnp.where(am > 0.0, am, 1.0)
+    am_safe = jnp.where(am > 0.0, am, _f32(1.0))
     nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
 
     em = ecco - tempe + dedt * t32
@@ -972,7 +976,7 @@ def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
     j3oj2 = _f32(grav.j3oj2)
     aycof = -0.5 * j3oj2 * sinip
     near180 = jnp.abs(cosip + 1.0) > 1.5e-12
-    denom = jnp.where(near180, 1.0 + cosip, 1.5e-12)
+    denom = jnp.where(near180, 1.0 + cosip, _f32(1.5e-12))
     xlcof = -0.25 * j3oj2 * sinip * (3.0 + 5.0 * cosip) / denom
     cosisq = cosip * cosip
     con41 = 3.0 * cosisq - 1.0

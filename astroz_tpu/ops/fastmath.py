@@ -105,7 +105,7 @@ def fast_atan2(y, x):
     swap = abs_y > abs_x
     num = jnp.where(swap, abs_x, abs_y)
     den = jnp.where(swap, abs_y, abs_x)
-    den = jnp.where(den > 0.0, den, 1.0)
+    den = jnp.where(den > 0.0, den, jnp.float32(1.0))
     z = num / den
     z2 = z * z
     a = _AT[7]
@@ -125,7 +125,10 @@ def fast_cbrt(x):
     """
     x = jnp.asarray(x, jnp.float32)
     i = x.view(jnp.int32)
-    y = ((i // 3) + 0x2A511CD0).view(jnp.float32)
+    # explicit i32 constants: bare python ints promote through i64
+    # under x64, which Mosaic cannot lower (recurses; see CLAUDE.md)
+    y = (jnp.floor_divide(i, jnp.int32(3))
+         + jnp.int32(0x2A511CD0)).view(jnp.float32)
     # Newton: y <- y - (y - x/y^2)/3 = (2y + x/y^2)/3
     y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
     y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
