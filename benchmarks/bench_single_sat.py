@@ -81,34 +81,40 @@ def main():
         tmpl = (jnp.arange(chunk, dtype=jnp.float64)
                 .reshape(-1, LANES) * (step_s / 60.0))
 
-        def sweep():
-            done = 0
-            outs = []
-            while done < n_pad:
-                n = min(chunk, n_pad - done)
-                t = tmpl[:n // LANES] + done * (step_s / 60.0)
-                if use_pallas:
-                    outs.append(propagate_fast_pallas_fused(
-                        els_w, t, cat.grav, kepler_iters=5))
-                elif args.f64:
-                    outs.append(run_f64(t))
-                else:
-                    outs.append(run_fast(t))
-                done += n
+        def sweeps(k):
+            """Enqueue k full sweeps and fetch ONLY the final chunk's
+            output: per-program fetches serialize ~25-30 ms tunnel
+            round trips each, so pipelining is the only way small
+            grids ever amortize dispatch latency (see CLAUDE.md)."""
+            out = None
+            for _ in range(k):
+                done = 0
+                while done < n_pad:
+                    n = min(chunk, n_pad - done)
+                    t = tmpl[:n // LANES] + done * (step_s / 60.0)
+                    if use_pallas:
+                        out = propagate_fast_pallas_fused(
+                            els_w, t, cat.grav, kepler_iters=5)
+                    elif args.f64:
+                        out = run_f64(t)
+                    else:
+                        out = run_fast(t)
+                    done += n
             # fetch forces completion (block_until_ready can return
             # early on tunnel-attached chips)
-            np.asarray(outs[-1][0][:1, :1])
+            np.asarray(out[0][:1, :1])
 
-        sweep()  # compile + warm
-        # slope method cancels fixed dispatch/fetch overhead
+        sweeps(1)  # compile + warm
+        # slope over pipelined sweep batches cancels the fixed
+        # dispatch/fetch overhead
+        reps = max(1, min(64, (1 << 22) // n_pad))
         t0 = time.perf_counter()
-        sweep()
+        sweeps(1)
         t_one = time.perf_counter() - t0
         t0 = time.perf_counter()
-        for _ in range(3):
-            sweep()
+        sweeps(1 + 2 * reps)
         t_three = time.perf_counter() - t0
-        dt = max((t_three - t_one) / 2, 1e-9)
+        dt = max((t_three - t_one) / (2 * reps), 1e-9)
         results[name] = n_points / dt
         print(f"{name:12s} {n_points:>9d} pts  "
               f"{n_points/dt/1e6:8.1f} M props/s", flush=True)
