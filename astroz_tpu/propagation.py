@@ -26,6 +26,7 @@ redesigned for XLA:
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import cached_property
 from functools import partial
 from typing import Optional, Sequence, Tuple, Union
 
@@ -79,7 +80,7 @@ class SatCatalog:
     def n_sats(self) -> int:
         return len(self)
 
-    @property
+    @cached_property
     def is_deep(self) -> np.ndarray:
         return np.asarray(self.els.is_deep)
 
@@ -91,16 +92,45 @@ class SatCatalog:
     def has_deep(self) -> bool:
         return self.deep is not None
 
-    @property
+    @cached_property
     def epochs_jd(self) -> np.ndarray:
+        # cached: on a remote TPU backend every np.asarray of device
+        # data is a blocking ~25 ms round trip — epochs are immutable,
+        # fetch once
         return np.asarray(self.els.epoch_jd)
+
+    @cached_property
+    def epoch_min_jd(self) -> float:
+        return float(self.epochs_jd.min()) if len(self) else 0.0
+
+    @cached_property
+    def deep_epochs_jd(self) -> Optional[np.ndarray]:
+        if self.els_deep is None:
+            return None
+        return np.asarray(self.els_deep.epoch_jd)
 
     @property
     def init_errors(self) -> np.ndarray:
         """Per-satellite python-sgp4 init error codes (0 = ok)."""
         return np.asarray(self.els.error)
 
-    @property
+    @cached_property
+    def fast_staging(self):
+        """Per-catalog device-resident arrays the fast path reuses on
+        every call: ``(t_sat, t_sat_deep, deep_idx)`` in minutes
+        relative to the earliest epoch. Cached so a propagate() call
+        enqueues zero eager per-op device work."""
+        ref = self.epoch_min_jd
+        t_sat = (self.els.epoch_jd - ref) * MINUTES_PER_DAY
+        if self.els_deep is not None:
+            t_sat_deep = ((self.els_deep.epoch_jd - ref)
+                          * MINUTES_PER_DAY)
+            deep_idx = jnp.asarray(self.deep_idx)
+        else:
+            t_sat_deep = deep_idx = None
+        return t_sat, t_sat_deep, deep_idx
+
+    @cached_property
     def kepler_iters(self) -> int:
         """Static Newton trip count for the fast shallow kernel: 5
         suffices below e ~ 0.35 (stress-gated in tests/test_fast.py);
@@ -398,21 +428,21 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         fr = jnp.zeros_like(jnp.atleast_1d(jnp.asarray(jd)))
 
     dt = cat.els.epoch_jd.dtype
-    jd = jnp.atleast_1d(jnp.asarray(jd, dt))
-    fr = jnp.atleast_1d(jnp.asarray(fr, dt))
-    jd, fr = jnp.broadcast_arrays(jd, fr)
-    # minutes since each satellite's epoch — computed with the jd/fr split
-    # so the subtraction happens at epoch-difference magnitude (~days), not
-    # at JD magnitude (~2.45e6), preserving sub-microsecond resolution.
-    tsince = ((jd[:, None] - cat.els.epoch_jd[None, :])
-              + fr[:, None]) * MINUTES_PER_DAY
-    jd_sum = (jd + fr)[:, None]
+    # host copies first: the prologue math below runs in numpy so a
+    # propagate() call enqueues only the jitted program (plus two tiny
+    # transfers), never eager per-op device dispatches — on a remote
+    # TPU backend each eager op costs a dispatch and every device
+    # fetch a ~25 ms round trip.
+    jd_h = np.atleast_1d(np.asarray(jd, np.float64))
+    fr_h = np.atleast_1d(np.asarray(fr, np.float64))
+    jd_h, fr_h = np.broadcast_arrays(jd_h, fr_h)
+    jd_sum = jnp.asarray((jd_h + fr_h)[:, None], dt)
 
     if method == "fast":
         engine = default_engine()
-        ref = cat.epochs_jd.min()
-        t_time = ((jd - ref) + fr) * MINUTES_PER_DAY
-        t_sat = (cat.els.epoch_jd - ref) * MINUTES_PER_DAY
+        ref = cat.epoch_min_jd
+        t_time = jnp.asarray(((jd_h - ref) + fr_h) * MINUTES_PER_DAY, dt)
+        t_sat, t_sat_deep, deep_idx = cat.fast_staging
         if not cat.has_deep:
             r, v, err = _propagate_fast_shallow(
                 cat.els, t_time, t_sat, jd_sum, cat.grav, output,
@@ -424,28 +454,39 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
             # recompilation. The table is built per-satellite by a
             # lax.scan (ops/fast.py:_resonance_tables), so depth is
             # cheap — O(n_sats) work per step, not O(grid).
-            jd_sum_h = np.asarray(jd) + np.asarray(fr)
-            ep_deep = np.asarray(cat.els_deep.epoch_jd)
+            jd_sum_h = jd_h + fr_h
+            ep_deep = cat.deep_epochs_jd  # cached host copy (no fetch)
             tmax = float(max(abs(jd_sum_h.max() - ep_deep.min()),
                              abs(jd_sum_h.min() - ep_deep.max()))
                          * MINUTES_PER_DAY)
             steps = max(2, int(2 ** np.ceil(np.log2(
                 max(tmax / 720.0, 1.0) + 1.0))))
-            t_sat_deep = (cat.els_deep.epoch_jd - ref) * MINUTES_PER_DAY
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
-                jnp.asarray(cat.deep_idx), t_time, t_sat, t_sat_deep,
+                deep_idx, t_time, t_sat, t_sat_deep,
                 jd_sum, cat.grav, output, velocities, cat.kepler_iters,
                 engine, steps)
-    elif not cat.has_deep:
-        r, v, err = _propagate_shallow(cat.els, tsince, jd_sum, cat.grav,
-                                       output, velocities)
-    elif scan_times:
-        r, v, err = _propagate_mixed_scan(cat.els, cat.deep, tsince, jd_sum,
-                                          cat.grav, output, velocities)
     else:
-        r, v, err = _propagate_mixed(cat.els, cat.deep, tsince, jd_sum,
-                                     cat.grav, output, velocities)
+        # minutes since each satellite's epoch — computed with the
+        # jd/fr split so the subtraction happens at epoch-difference
+        # magnitude (~days), not at JD magnitude (~2.45e6), preserving
+        # sub-microsecond resolution (f64 paths only; the fast path
+        # passes the separable (t_time, t_sat) factors instead)
+        jd = jnp.asarray(jd_h, dt)
+        fr = jnp.asarray(fr_h, dt)
+        tsince = ((jd[:, None] - cat.els.epoch_jd[None, :])
+                  + fr[:, None]) * MINUTES_PER_DAY
+        if not cat.has_deep:
+            r, v, err = _propagate_shallow(cat.els, tsince, jd_sum,
+                                           cat.grav, output, velocities)
+        elif scan_times:
+            r, v, err = _propagate_mixed_scan(cat.els, cat.deep, tsince,
+                                              jd_sum, cat.grav, output,
+                                              velocities)
+        else:
+            r, v, err = _propagate_mixed(cat.els, cat.deep, tsince,
+                                         jd_sum, cat.grav, output,
+                                         velocities)
 
     if satellite_mask is not None:
         m = jnp.asarray(satellite_mask, bool)[None, :]
