@@ -263,3 +263,26 @@ def test_pallas_deep_kernel_interpret_matches_xla():
         np.asarray(r64) - np.asarray(r1, np.float64), axis=-1)[ok]
     assert d_mutual.max() < 0.06, f"{d_mutual.max():.4f} km"
     assert d_vs_f64.max() < 0.1, f"{d_vs_f64.max():.4f} km"
+
+def test_fast_atan2_accuracy_and_quadrants():
+    """fast_atan2 vs numpy arctan2: < 3e-7 rad over all four quadrants
+    (~the f32 evaluation floor of the degree-15 odd minimax polynomial
+    plus quadrant-fold rounding),
+    with correct axis/origin conventions."""
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.uniform(-5, 5, 20000).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-5, 5, 20000).astype(np.float32))
+    got = np.asarray(fm.fast_atan2(y, x), np.float64)
+    ref = np.arctan2(np.asarray(y, np.float64), np.asarray(x, np.float64))
+    # compare as angles (wraps at +-pi are equivalent)
+    d = np.abs(np.angle(np.exp(1j * (got - ref))))
+    assert d.max() < 5e-7, d.max()
+
+    # axes and origin
+    f32 = np.float32
+    cases = [((f32(0), f32(1)), 0.0), ((f32(1), f32(0)), np.pi / 2),
+             ((f32(0), f32(-1)), np.pi), ((f32(-1), f32(0)), -np.pi / 2),
+             ((f32(0), f32(0)), 0.0)]
+    for (yy, xx), want in cases:
+        got = float(fm.fast_atan2(jnp.float32(yy), jnp.float32(xx)))
+        assert abs(np.angle(np.exp(1j * (got - want)))) < 5e-7, (yy, xx)
