@@ -230,11 +230,37 @@ def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
 
     default = jax.devices()[0]
     if default != cpu0:
-        els, deep, els_deep, deep_sub = jax.device_put(
+        els, deep, els_deep, deep_sub = _device_put_packed(
             (els, deep, els_deep, deep_sub), default)
     return SatCatalog(els=els, deep=deep, grav=grav, satnum=satnum,
                       names=names, deep_idx=deep_idx, els_deep=els_deep,
                       deep_sub=deep_sub)
+
+
+def _device_put_packed(tree, device):
+    """Transfer a pytree host->device as a few PACKED arrays.
+
+    A per-leaf ``jax.device_put`` pays one transfer round trip per leaf
+    — measured up to ~4 s/leaf through a degraded remote-TPU tunnel
+    (351 s for a catalog's 87 element arrays). Stacking same-shape/dtype
+    leaves on the host into one array per group turns that into ~3
+    transfers + cheap on-device slicing.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        arr = np.asarray(leaf)
+        groups.setdefault((arr.shape, arr.dtype.str), []).append((i, arr))
+    out = [None] * len(leaves)
+    for (_, _), members in groups.items():
+        if len(members) == 1:
+            i, arr = members[0]
+            out[i] = jax.device_put(arr, device)
+            continue
+        pack = jax.device_put(np.stack([a for _, a in members]), device)
+        for k, (i, _) in enumerate(members):
+            out[i] = pack[k]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 # ---------------------------------------------------------------------------
