@@ -29,11 +29,38 @@ class Parser:
             return self.frame_type.parse(buf, self.config)
         return self.frame_type.parse(buf)
 
+    def _native_kind(self) -> Optional[str]:
+        from .ccsds import Ccsds
+        from .vita49 import Vita49
+        if self.frame_type is Ccsds and self.config is None:
+            return "ccsds"
+        if self.frame_type is Vita49:
+            return "vita49"
+        return None
+
     def iter_frames(self, data: bytes) -> Iterator:
         """Parse back-to-back frames out of a buffer. With a sync
         pattern, scan forward to each occurrence before parsing
         (reference resync behavior, parsers.zig:61-86); without one,
-        a malformed frame skips one byte and rescans."""
+        a malformed frame skips one byte and rescans.
+
+        Large buffers of the built-in frame types go through the C++
+        bulk scanner (native/frame_scanner.cpp — the byte-level resync
+        walk is O(bytes) interpreter work in Python); field extraction
+        stays in Python. Scan semantics are identical (parity-tested).
+        """
+        kind = self._native_kind()
+        if kind is not None and len(data) >= 2048:
+            from .. import native
+            res = native.scan_frames(kind, bytes(data),
+                                     self.sync_pattern)
+            if res is not None:
+                for o, ln in zip(*(a.tolist() for a in res)):
+                    try:
+                        yield self._parse_one(data[o:o + ln])
+                    except Exception:  # pragma: no cover - C++ parity
+                        continue
+                return
         pos = 0
         n = len(data)
         while pos < n:

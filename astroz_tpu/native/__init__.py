@@ -21,6 +21,7 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libastroz_native.so")
 _SRC = os.path.join(_DIR, "tle_parser.cpp")
+_SRC2 = os.path.join(_DIR, "frame_scanner.cpp")
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -32,11 +33,11 @@ def _build() -> bool:
     """Compile the shared library if the source is newer or the .so is
     missing. Returns True on success."""
     try:
-        if (os.path.exists(_SO)
-                and os.path.getmtime(_SO) >= os.path.getmtime(_SRC)):
+        src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-               _SRC, "-o", _SO]
+               _SRC, _SRC2, "-o", _SO]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
@@ -93,3 +94,31 @@ def parse_catalog(text: str
     if n < 0:
         return None
     return cols[:, :n].copy(), satnums[:n].copy()
+
+
+def scan_frames(kind: str, data: bytes,
+                sync_pattern: Optional[bytes] = None
+                ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Scan a telemetry buffer for frame boundaries natively.
+
+    ``kind`` is ``"ccsds"`` or ``"vita49"``. Returns ``(offsets,
+    lengths)`` int64 arrays of frame candidates (validation mirrors the
+    Python parsers), or None when the native library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    fn = (lib.astroz_scan_ccsds if kind == "ccsds"
+          else lib.astroz_scan_vita49)
+    sync = sync_pattern or b""
+    # every frame needs >= 4 bytes (header), so n/4 + 1 bounds the count
+    max_frames = len(data) // 4 + 1
+    offsets = np.zeros(max_frames, np.int64)
+    lengths = np.zeros(max_frames, np.int64)
+    n = fn(data, len(data), sync, len(sync),
+           offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+           lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+           max_frames)
+    if n < 0:
+        return None
+    return offsets[:n].copy(), lengths[:n].copy()
