@@ -167,12 +167,15 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     """Dense-grid propagate via ``shard_map``: each device runs the
     split-precision fast kernel on its satellite shard.
 
-    Mixed catalogs run the unified masked-dense kernel per shard (deep
-    coefficients travel with their satellites), so the program is
-    uniform SPMD with zero collectives — the multi-chip shape of the
-    reference's batch-range threading (Constellation.zig:360-382).
-    ``engine`` selects the per-shard kernel ('pallas' on TPU when
-    available, 'xla' otherwise).
+    Mixed catalogs run PARTITIONED per shard: the shallow kernel over
+    the device's satellite shard at full shallow rate, plus the whole
+    (tiny) deep subset replicated per device — time-sharded when the
+    mesh has a time axis — substituted into the shard's deep columns by
+    a static expansion map. Uniform SPMD, zero collectives: the
+    multi-chip shape of the reference's batch-range threading
+    (Constellation.zig:360-382) combined with its SGP4/SDP4 batch
+    split. ``engine`` selects the per-shard kernel ('pallas' on TPU
+    when available, 'xla' otherwise).
     """
     from jax import shard_map
 
@@ -197,14 +200,19 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
 
     scat, n_real = pad_catalog(cat, mesh.shape["sat"])
     grav = scat.grav
-    kepler_iters = scat.kepler_iters
+    kepler_iters = cat.kepler_iters  # cached on the caller's catalog
 
     tsince = ((jd[:, None] - scat.els.epoch_jd[None, :])
               + fr[:, None]) * MINUTES_PER_DAY
     jd_sum = (jd + fr)[:, None]
     # host-known horizon -> static resonance table depth (power of two
-    # to bound recompilation; see ops/fast.py:_resonance_tables)
-    tmax = float(np.abs(np.asarray(tsince)).max())
+    # to bound recompilation; see ops/fast.py:_resonance_tables).
+    # Computed from the epoch extremes (host-cached) + the small jd
+    # array — never by fetching the (T, N) tsince grid.
+    jd_h = np.asarray(jd) + np.asarray(fr)
+    ep = cat.epochs_jd
+    tmax = float(max(abs(jd_h.max() - ep.min()),
+                     abs(jd_h.min() - ep.max())) * MINUTES_PER_DAY)
     res_steps = max(2, int(2 ** np.ceil(np.log2(
         max(tmax / 720.0, 1.0) + 1.0))))
 
@@ -233,22 +241,70 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
 
     els_specs = jax.tree_util.tree_map(lambda _: sat_spec, scat.els)
     if scat.deep is not None:
-        deep_specs = jax.tree_util.tree_map(lambda _: sat_spec, scat.deep)
+        # Partitioned SPMD: every device runs the SHALLOW kernel on its
+        # satellite shard, plus the full (tiny, ~5%) deep subset
+        # REPLICATED — then substitutes its own deep columns via a
+        # static per-shard expansion map. This keeps per-lane cost at
+        # shallow rate (the old design ran the unified masked-dense
+        # kernel per shard, making every lane pay the deep tail), with
+        # zero collectives: replicated redundant deep work is far
+        # cheaper than deep-rate shallow lanes.
+        rep_spec = P()
+        n0 = len(cat)
+        is_deep_h = np.zeros(scat.els.is_deep.shape[0], bool)
+        is_deep_h[:n0] = cat.is_deep
+        rows_h = np.maximum(np.cumsum(is_deep_h) - 1, 0).astype(np.int32)
+        if scat.els.is_deep.shape[0] > n0:  # pad lanes repeat the last sat
+            is_deep_h[n0:] = is_deep_h[n0 - 1]
+            rows_h[n0:] = rows_h[n0 - 1]
+        rep_sh = NamedSharding(mesh, rep_spec)
+        mask_loc = jax.device_put(jnp.asarray(is_deep_h), sat_sh)
+        inv_loc = jax.device_put(jnp.asarray(rows_h), sat_sh)
+        els_deep = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep_sh)
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, cat.els_deep)
+        deep_sub = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep_sh)
+            if hasattr(x, "ndim") and x.ndim >= 1 else x, cat.deep_sub)
+        # deep tsince grid sharded over the TIME axis: each device
+        # computes the deep subset only for its own time rows
+        ts_deep = jax.device_put(
+            ((jd[:, None] - els_deep.epoch_jd[None, :]) + fr[:, None])
+            * MINUTES_PER_DAY, NamedSharding(mesh, P("time", None)))
+        els_deep_specs = jax.tree_util.tree_map(lambda _: rep_spec,
+                                                els_deep)
+        deep_sub_specs = jax.tree_util.tree_map(lambda _: rep_spec,
+                                                deep_sub)
 
-        def shard_fn(els, deep, ts, js):
-            # mixed shards run the unified masked-dense kernel (the
-            # Pallas engine covers the near-earth tail only)
-            r, v, err = propagate_fast(els, deep, ts, grav,
-                                       kepler_iters=8,
-                                       resonance_steps=res_steps)
+        def shard_fn(els, ts, js, m_loc, i_loc, e_deep, d_sub, tsd):
+            if engine == "pallas":
+                from ..ops.pallas_sgp4 import (propagate_deep_pallas,
+                                               propagate_fast_pallas_fused)
+                r, v, err = propagate_fast_pallas_fused(
+                    els, ts, grav, kepler_iters=kepler_iters)
+                r_d, v_d, err_d = propagate_deep_pallas(
+                    e_deep, d_sub, tsd, grav,
+                    resonance_steps=res_steps)
+            else:
+                r, v, err = propagate_fast(els, None, ts, grav,
+                                           kepler_iters=kepler_iters)
+                r_d, v_d, err_d = propagate_fast(
+                    e_deep, d_sub, tsd, grav,
+                    resonance_steps=res_steps)
+            m3 = m_loc[None, :, None]
+            r = jnp.where(m3, r_d[:, i_loc, :], r)
+            v = jnp.where(m3, v_d[:, i_loc, :], v)
+            err = jnp.where(m_loc[None, :], err_d[:, i_loc], err)
             return _finalize(r, v, err, js, output, True)
 
         fn = shard_map(shard_fn, mesh=mesh,
-                       in_specs=(els_specs, deep_specs, grid_spec,
-                                 time_spec),
+                       in_specs=(els_specs, grid_spec, time_spec,
+                                 sat_spec, sat_spec, els_deep_specs,
+                                 deep_sub_specs, P("time", None)),
                        out_specs=(grid_spec, grid_spec, grid_spec),
                        check_vma=False)
-        r, v, err = jax.jit(fn)(scat.els, scat.deep, tsince, jd_sum)
+        r, v, err = jax.jit(fn)(scat.els, tsince, jd_sum, mask_loc,
+                                inv_loc, els_deep, deep_sub, ts_deep)
     else:
         def shard_fn(els, ts, js):
             if engine == "pallas":

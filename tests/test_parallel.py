@@ -54,9 +54,10 @@ def test_sharded_ecef(cat):
     np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref), atol=1e-9)
 
 
-def test_shard_map_fast_matches_single_device(cat):
+@pytest.mark.parametrize("time_parallel", [1, 2])
+def test_shard_map_fast_matches_single_device(cat, time_parallel):
     from astroz_tpu.parallel import propagate_sharded_fast
-    mesh = make_mesh()
+    mesh = make_mesh(time_parallel=time_parallel)
     epoch = cat.epochs_jd[0]
     jd = epoch + np.linspace(0.0, 1.0, 7)
     r_ref, v_ref, e_ref = propagate(cat, jd, method="fast")
@@ -64,8 +65,8 @@ def test_shard_map_fast_matches_single_device(cat):
     assert r.shape == r_ref.shape
     dr = np.linalg.norm(np.asarray(r, np.float64)
                         - np.asarray(r_ref, np.float64), axis=-1)
-    # partitioned (ref) vs unified (sharded) fast paths: same physics,
-    # different f32 op order
+    # both run the partitioned fast path (shallow kernel + deep-subset
+    # kernel); differences are f32 op-order only
     assert dr.max() < 0.05
     np.testing.assert_array_equal(np.asarray(e), np.asarray(e_ref))
 
