@@ -58,6 +58,7 @@ class Satrec:
         self._cat: Optional[SatCatalog] = None
         self._tle: Optional[_tle.Tle] = None
         self._scalar = None
+        self._scalar_native = None
         self.error = 0
         self.t = 0.0
 
@@ -118,6 +119,10 @@ class Satrec:
                 float(els.ecco[0]), float(els.argpo[0]),
                 float(els.inclo[0]), float(els.mo[0]),
                 float(els.no_kozai[0]), float(els.nodeo[0]))
+            # native C++ propagator (~1 us/call vs ~20 us pure-Python;
+            # exact-parity-tested) — None when no compiler is available
+            from . import native
+            self._scalar_native = native.scalar_engine(self._scalar)
         return self._scalar
 
     def sgp4(self, jd: float, fr: float
@@ -131,8 +136,12 @@ class Satrec:
             # init-time failure: match the batch path's zero-fill
             self.error = init_err
             return init_err, (0.0, 0.0, 0.0), (0.0, 0.0, 0.0)
-        from .ops import scalar
-        e, r, v = scalar.sgp4(self._scalar_record(), self.t)
+        rec = self._scalar_record()
+        if self._scalar_native is not None:
+            e, r, v = self._scalar_native.sgp4(self.t)
+        else:
+            from .ops import scalar
+            e, r, v = scalar.sgp4(rec, self.t)
         self.error = e
         return e, r, v
 

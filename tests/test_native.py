@@ -146,3 +146,57 @@ def _python_iter(parser, data):
         out.append(frame)
         pos += max(frame.total_length, 1)
     return out
+
+
+def test_native_scalar_parity_all_regimes():
+    """Native C++ scalar propagator vs the pure-Python scalar engine:
+    exact (ULP-level) parity across LEO, low-perigee isimp, GEO irez=1
+    (incl. Lyddane), half-day irez=2, and deep non-resonant regimes,
+    over +-1440 min including error-code paths."""
+    import math
+
+    import numpy as np
+
+    from astroz_tpu import native
+    from astroz_tpu.ops import scalar as sc
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(17)
+    g72, g84 = sc.wgs72(), sc.wgs84()
+    cases = []
+    for k in range(40):
+        regime = k % 5
+        if regime == 0:    # LEO
+            no = rng.uniform(12, 16) * 2 * math.pi / 1440
+            e, i = rng.uniform(1e-4, 0.05), rng.uniform(0.3, 1.8)
+        elif regime == 1:  # low perigee (isimp)
+            no = rng.uniform(16.2, 16.5) * 2 * math.pi / 1440
+            e, i = rng.uniform(1e-4, 0.01), rng.uniform(0.5, 1.7)
+        elif regime == 2:  # GEO irez=1 (often Lyddane)
+            no = rng.normal(1.0027, 1e-4) * 2 * math.pi / 1440
+            e, i = rng.uniform(1e-4, 5e-4), rng.uniform(0.0, 0.15)
+        elif regime == 3:  # half-day irez=2
+            no = rng.uniform(1.9, 2.1) * 2 * math.pi / 1440
+            e, i = rng.uniform(0.5, 0.74), rng.uniform(0.9, 1.2)
+        else:              # deep non-resonant
+            no = rng.uniform(0.9, 1.8) * 2 * math.pi / 1440
+            e, i = rng.uniform(0.01, 0.3), rng.uniform(0.3, 1.2)
+        cases.append((no, e, i, g72 if k % 2 else g84))
+
+    times = np.linspace(-1440.0, 1440.0, 25)
+    for no, ecc, incl, grav in cases:
+        sat = sc.sgp4init(grav, 2460310.5, float(rng.uniform(-1e-5, 1e-4)),
+                          ecc, float(rng.uniform(0, 2 * math.pi)), incl,
+                          float(rng.uniform(0, 2 * math.pi)), no,
+                          float(rng.uniform(0, 2 * math.pi)))
+        eng = native.scalar_engine(sat)
+        assert eng is not None
+        for t in times:
+            e1, r1, v1 = sc.sgp4(sat, float(t))
+            e2, r2, v2 = eng.sgp4(float(t))
+            assert e1 == e2, (e1, e2, no, ecc, incl, t)
+            for a, b in zip(r1 + v1, r2 + v2):
+                assert a == b or abs(a - b) < 1e-9, (a, b, no, ecc, t)
