@@ -32,7 +32,8 @@ from . import constellation  # noqa: E402
 from .constellation import Constellation  # noqa: E402
 from . import screening  # noqa: E402
 from .propagation import SatCatalog, build_catalog, propagate  # noqa: E402
-from .screening import screen_all, screen_target  # noqa: E402
+from .screening import (screen_all, screen_all_ring,  # noqa: E402
+                        screen_target)
 
 __all__ = [
     "constants", "time", "tle", "frames", "ops", "propagation",
@@ -40,5 +41,5 @@ __all__ = [
     "orbital_mechanics", "spacecraft", "mission", "montecarlo", "api",
     "equatorial", "fits", "io", "spice", "constellation", "Constellation",
     "SatCatalog", "build_catalog", "propagate",
-    "screen_all", "screen_target", "__version__",
+    "screen_all", "screen_all_ring", "screen_target", "__version__",
 ]
