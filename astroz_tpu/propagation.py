@@ -117,18 +117,23 @@ class SatCatalog:
     @cached_property
     def fast_staging(self):
         """Per-catalog device-resident arrays the fast path reuses on
-        every call: ``(t_sat, t_sat_deep, deep_idx)`` in minutes
-        relative to the earliest epoch. Cached so a propagate() call
+        every call: ``(t_sat, t_sat_deep, deep_mask, deep_inv)`` —
+        epoch offsets in minutes relative to the earliest epoch, plus
+        the deep-substitution expansion map (per-satellite bool mask +
+        index into the deep subset). Cached so a propagate() call
         enqueues zero eager per-op device work."""
         ref = self.epoch_min_jd
         t_sat = (self.els.epoch_jd - ref) * MINUTES_PER_DAY
         if self.els_deep is not None:
             t_sat_deep = ((self.els_deep.epoch_jd - ref)
                           * MINUTES_PER_DAY)
-            deep_idx = jnp.asarray(self.deep_idx)
+            is_deep_h = self.is_deep
+            rows = np.maximum(np.cumsum(is_deep_h) - 1, 0)
+            deep_mask = jnp.asarray(is_deep_h)
+            deep_inv = jnp.asarray(rows.astype(np.int32))
         else:
-            t_sat_deep = deep_idx = None
-        return t_sat, t_sat_deep, deep_idx
+            t_sat_deep = deep_mask = deep_inv = None
+        return t_sat, t_sat_deep, deep_mask, deep_inv
 
     @cached_property
     def kepler_iters(self) -> int:
@@ -340,54 +345,58 @@ def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "engine", "resonance_steps"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
-                                deep_sub: DeepElements, deep_idx, t_time,
+                                deep_sub: DeepElements, deep_mask,
+                                deep_inv, t_time,
                                 t_sat, t_sat_deep, jd_sum,
                                 grav: GravityModel,
                                 output: str, want_vel: bool,
                                 kepler_iters: int = 8, engine: str = "xla",
                                 resonance_steps=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
-    the deep-space kernel only over the (static) deep subset, scattered
-    back into the full grid.
+    the deep-space kernel only over the (static) deep subset, merged
+    into the full grid by a per-satellite expansion map
+    (``where(mask, deep[:, inv], shallow)``).
 
-    On the Pallas engine the deep results are scattered into the raw
-    per-component (time, sat) kernel output planes BEFORE stacking to
-    ``(..., 3)``: scattering after the stack forces XLA to materialize
-    the minor-dim-3 layout and pay relayout copies on every plane
-    (measured +17.6 ms on the 13478x1440 grid vs ~1.5 ms this way)."""
+    The select-merge replaced an index scatter: on TPU the lane-dim
+    scatter forced materialization boundaries that cost ~3 ms, while
+    the gather+select fuses into the final stack (13.0 -> 10.0 ms
+    end-to-end on the 13478x1440 grid). On the Pallas engine the merge
+    runs on the raw per-component (time, sat) kernel output planes
+    BEFORE stacking to ``(..., 3)`` — stacking first forces XLA to
+    materialize the minor-dim-3 layout and pay relayout copies per
+    plane (measured +17.6 ms)."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
-    kw = dict(unique_indices=True, indices_are_sorted=True)
+    n_times = t_time.shape[0]
+    n_sats = t_sat.shape[0]
+    n_deep = t_sat_deep.shape[0]
     if engine == "pallas":
         from .ops.pallas_sgp4 import (propagate_deep_pallas,
                                       propagate_fast_pallas_sep)
-        n_times = t_time.shape[0]
-        n_sats = t_sat.shape[0]
         # deep subset through its own fused kernel (f64 spine +
-        # resonance tables in XLA, f32 tail in Pallas); plane-to-plane
-        # scatter — nothing ever materializes a minor-dim-3 layout
-        n_deep = t_sat_deep.shape[0]
+        # resonance tables in XLA, f32 tail in Pallas)
         d_planes = propagate_deep_pallas(
             els_deep, deep_sub, tsince_deep, grav,
             resonance_steps=resonance_steps, planes=True)
         planes = list(propagate_fast_pallas_sep(
             els, t_time, t_sat, grav, kepler_iters=kepler_iters,
             planes=True))
-        nt = slice(None, n_times)
         for c in range(7):
-            planes[c] = planes[c].at[nt, deep_idx].set(
-                d_planes[c][:n_times, :n_deep], **kw)
-        r = jnp.stack(planes[0:3], axis=-1)[:n_times, :n_sats]
-        v = jnp.stack(planes[3:6], axis=-1)[:n_times, :n_sats]
-        err = planes[6][:n_times, :n_sats]
+            dsel = d_planes[c][:n_times, :n_deep][:, deep_inv]
+            planes[c] = jnp.where(deep_mask[None, :], dsel,
+                                  planes[c][:n_times, :n_sats])
+        r = jnp.stack(planes[0:3], axis=-1)
+        v = jnp.stack(planes[3:6], axis=-1)
+        err = planes[6]
     else:
         r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep,
                                          grav,
                                          resonance_steps=resonance_steps)
         r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
                                     engine)
-        r = r.at[:, deep_idx, :].set(r_d, **kw)
-        v = v.at[:, deep_idx, :].set(v_d, **kw)
-        err = err.at[:, deep_idx].set(err_d, **kw)
+        m3 = deep_mask[None, :, None]
+        r = jnp.where(m3, r_d[:, deep_inv, :], r)
+        v = jnp.where(m3, v_d[:, deep_inv, :], v)
+        err = jnp.where(deep_mask[None, :], err_d[:, deep_inv], err)
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
@@ -468,7 +477,7 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         engine = default_engine()
         ref = cat.epoch_min_jd
         t_time = jnp.asarray(((jd_h - ref) + fr_h) * MINUTES_PER_DAY, dt)
-        t_sat, t_sat_deep, deep_idx = cat.fast_staging
+        t_sat, t_sat_deep, deep_mask, deep_inv = cat.fast_staging
         if not cat.has_deep:
             r, v, err = _propagate_fast_shallow(
                 cat.els, t_time, t_sat, jd_sum, cat.grav, output,
@@ -489,7 +498,7 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                 max(tmax / 720.0, 1.0) + 1.0))))
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
-                deep_idx, t_time, t_sat, t_sat_deep,
+                deep_mask, deep_inv, t_time, t_sat, t_sat_deep,
                 jd_sum, cat.grav, output, velocities, cat.kepler_iters,
                 engine, steps)
     else:

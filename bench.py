@@ -84,12 +84,7 @@ def main():
     engine = default_engine()
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
-    deep_idx = jnp.asarray(cat.deep_idx) if cat.deep is not None else None
-    ref = cat.epochs_jd.min()
-    t_sat = jnp.asarray((cat.epochs_jd - ref) * 1440.0)
-    t_sat_deep = (jnp.asarray((np.asarray(cat.els_deep.epoch_jd)
-                               - ref) * 1440.0)
-                  if cat.deep is not None else None)
+    t_sat, t_sat_deep, deep_mask, deep_inv = cat.fast_staging
 
     # stage the (tiny) time arrays on device once; INNER_REPS copies of
     # the scenario epochs run in one program
@@ -104,9 +99,9 @@ def main():
                                            cat.grav, "teme", True,
                                            cat.kepler_iters, engine)
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, deep_idx, ts, t_sat,
-            t_sat_deep, js, cat.grav, "teme", True, cat.kepler_iters,
-            engine, 4)
+            cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
+            ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
+            cat.kepler_iters, engine, 4)
 
     def fetch(outs):
         # force real completion: on tunnel-attached dev chips
