@@ -47,11 +47,8 @@ def main():
 
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
+    t_sat, t_sat_deep, deep_mask, deep_inv = cat.fast_staging
     deep_idx = jnp.asarray(cat.deep_idx)
-    ref = cat.epochs_jd.min()
-    t_sat = jnp.asarray((cat.epochs_jd - ref) * 1440.0)
-    t_sat_deep = jnp.asarray((np.asarray(cat.els_deep.epoch_jd) - ref)
-                             * 1440.0)
     ts = jax.device_put(jnp.asarray(tsince_all))
     js = jax.device_put(jnp.asarray(jd_sum)[:, None])
 
@@ -85,7 +82,8 @@ def main():
     # B: full partitioned current path
     def run_b():
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, deep_idx, ts, t_sat,
+            cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
+            ts, t_sat,
             t_sat_deep, js, cat.grav, "teme", True, cat.kepler_iters,
             engine, 4)
     t_b = slope(run_b, fetch3)
@@ -125,7 +123,8 @@ def main():
 
         def run_e():
             return _propagate_fast_partitioned(
-                cat.els, cat.els_deep, cat.deep_sub, deep_idx, tsk, t_sat,
+                cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
+                tsk, t_sat,
                 t_sat_deep, jsk, cat.grav, "teme", True, cat.kepler_iters,
                 engine, 4)
         t_e = slope(run_e, fetch3, k1=1, k2=3)
