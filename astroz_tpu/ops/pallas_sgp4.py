@@ -28,9 +28,11 @@ from ..constants import GravityModel
 from .sgp4 import Sgp4Elements
 from .fast import _shallow_f32_fields, shallow_tail_f32, spine_f64
 
-#: default tile: 8 sublanes x 512 lanes of f32
+#: default tile: 8 sublanes x 1024 lanes of f32 (tuned on v5e: 1024
+#: lanes measured ~10% faster than 512 on the 13478-sat catalog; 256
+#: is ~30% slower)
 TIME_BLOCK = 8
-SAT_BLOCK = 512
+SAT_BLOCK = 1024
 
 #: per-satellite field order fed to the kernel as one (n_fields, S) array
 _FIELD_NAMES = ("omgcof", "eta", "xmcof", "delmo", "cc1", "d2", "d3",
