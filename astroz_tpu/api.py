@@ -343,3 +343,38 @@ class SatrecArray:
         if velocities:
             return e, r, v
         return e, r
+
+
+# ---------------------------------------------------------------------------
+# astrojax-compatible functional surface
+# ---------------------------------------------------------------------------
+
+
+def create_sgp4_propagator(line1: str, line2: str, gravity=WGS72):
+    """astrojax-style functional API (the reference benches astrojax as
+    its JAX comparison point, benchmarks/jax_cpu_bench.py:4): returns
+    ``(params, propagate_fn)`` where ``propagate_fn(params, tsince_min)``
+    maps minutes-since-epoch (any shape) to ``(r_km, v_km_s)`` stacked
+    on the trailing axis, jit/vmap/grad-compatible.
+
+    Deep-space TLEs are supported (astrojax itself is SGP4-only).
+    """
+    from .propagation import build_catalog
+
+    cat = build_catalog("\n".join([line1.rstrip(), line2.rstrip()]),
+                        grav=_resolve_grav(gravity))
+    params = (cat.els, cat.deep)
+
+    def propagate_fn(params, tsince):
+        from .ops.sdp4 import sdp4_propagate
+        from .ops.sgp4 import sgp4_propagate
+
+        els, deep = params
+        t = jnp.asarray(tsince)[..., None]  # broadcast vs the 1-sat axis
+        if deep is not None:
+            r, v, _, _ = sdp4_propagate(els, deep, t, cat.grav)
+        else:
+            r, v, _ = sgp4_propagate(els, t, cat.grav)
+        return r[..., 0, :], v[..., 0, :]
+
+    return params, propagate_fn

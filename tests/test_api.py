@@ -156,3 +156,23 @@ def test_sgp4_array_large_lanes_path():
     assert np.all(e == 0)
     rn = np.linalg.norm(r, axis=-1)
     assert 42000 < rn.min() < rn.max() < 42400
+
+
+def test_create_sgp4_propagator_astrojax_style():
+    """Functional (params, propagate_fn) surface matching astrojax's
+    API shape (reference benches astrojax, jax_cpu_bench.py:4) —
+    jit/vmap-compatible and consistent with Satrec."""
+    import jax
+
+    from astroz_tpu.api import Satrec, WGS72, create_sgp4_propagator
+    from test_sgp4 import ISS_L1, ISS_L2
+
+    params, fn = create_sgp4_propagator(ISS_L1, ISS_L2)
+    t = jnp.linspace(0.0, 1440.0, 5)
+    r, v = jax.jit(fn)(params, t)
+    assert r.shape == (5, 3) and v.shape == (5, 3)
+
+    sat = Satrec.twoline2rv(ISS_L1, ISS_L2, WGS72)
+    _, r0, v0 = sat.sgp4_tsince(720.0)
+    d = np.linalg.norm(np.asarray(r)[2] - np.asarray(r0))
+    assert d < 1e-6, d  # both f64 paths; agreement to numerical noise
