@@ -163,6 +163,7 @@ def test_create_sgp4_propagator_astrojax_style():
     API shape (reference benches astrojax, jax_cpu_bench.py:4) —
     jit/vmap-compatible and consistent with Satrec."""
     import jax
+    import jax.numpy as jnp
 
     from astroz_tpu.api import Satrec, WGS72, create_sgp4_propagator
     from test_sgp4 import ISS_L1, ISS_L2
