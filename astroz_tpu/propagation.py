@@ -137,12 +137,17 @@ class SatCatalog:
 
     @cached_property
     def kepler_iters(self) -> int:
-        """Static Newton trip count for the fast shallow kernel: 5
-        suffices below e ~ 0.35 (stress-gated in tests/test_fast.py);
-        high-e lanes (always in the deep partition for real catalogs,
-        but guarded here anyway) get the full 8."""
-        max_ecc = float(np.asarray(self.els.ecco).max()) if len(self) \
-            else 0.0
+        """Static Newton trip count for the fast SHALLOW kernel: 5
+        suffices below e ~ 0.35 (stress-gated in tests/test_fast.py).
+        Only the near-earth lanes count — the deep partition (where the
+        high-e HEOs live) runs its own kernel at the full 8 — so a
+        mixed catalog keeps the cheap trip count on 95% of its lanes."""
+        if not len(self):
+            return 5
+        ecc = np.asarray(self.els.ecco)
+        if self.els_deep is not None:
+            ecc = ecc[~self.is_deep]
+        max_ecc = float(ecc.max()) if ecc.size else 0.0
         return 5 if max_ecc < 0.3 else 8
 
 
