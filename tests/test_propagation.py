@@ -222,3 +222,18 @@ def test_all_deep_catalog():
         assert np.all(np.asarray(err) == 0)
         rn = np.linalg.norm(np.asarray(r, np.float64), axis=-1)
         assert np.all((rn > 6500) & (rn < 50000))
+
+
+def test_kepler_iters_ignores_deep_partition(mixed_cat):
+    """The shallow kernel's Newton trip count must come from the
+    near-earth lanes only — the deep partition's high-e HEOs run their
+    own kernel at the full 8 (regression: catalog-wide max ecc forced
+    8 iterations on every shallow lane of a mixed catalog)."""
+    assert mixed_cat.has_deep
+    shallow_ecc = np.asarray(mixed_cat.els.ecco)[~mixed_cat.is_deep]
+    expected = 5 if shallow_ecc.max() < 0.3 else 8
+    assert mixed_cat.kepler_iters == expected
+    # an all-LEO catalog with low ecc always gets 5
+    from test_sgp4 import ISS_L1, ISS_L2
+    leo = build_catalog("\n".join([ISS_L1, ISS_L2]))
+    assert leo.kepler_iters == 5
