@@ -129,6 +129,11 @@ def main():
     t_small = run_reps(2)
     t_big = run_reps(6)
     elapsed = (t_big - t_small) / 4
+    if elapsed <= 0:
+        # tunnel jitter can make the longer batch measure faster; fall
+        # back to the conservative total-time estimate (includes the
+        # fixed dispatch/fetch overhead)
+        elapsed = t_big / 6
 
     props = N_SATS * N_TIMES * INNER_REPS
     props_per_s = props / elapsed
