@@ -43,9 +43,17 @@ def ecef_to_geodetic(r_ecef, iters: int = 10):
     reference's <=10-iteration scheme (WorldCoordinateSystem.zig:98-121),
     which is already the XLA-friendly formulation.
     """
+    x, y, z = r_ecef[..., 0], r_ecef[..., 1], r_ecef[..., 2]
+    lat, lon, alt = ecef_to_geodetic_xyz(x, y, z, iters)
+    return jnp.stack([lat, lon, alt], axis=-1)
+
+
+def ecef_to_geodetic_xyz(x, y, z, iters: int = 10):
+    """Component-plane form of :func:`ecef_to_geodetic` — used by the
+    planes output layout so the conversion never materializes a
+    minor-dim-3 array. Returns ``(lat, lon, alt)``."""
     a = WGS84.radius_earth_km
     e2 = WGS84_ECC_SQ
-    x, y, z = r_ecef[..., 0], r_ecef[..., 1], r_ecef[..., 2]
     lon = jnp.arctan2(y, x)
     p = jnp.sqrt(x * x + y * y)
     p_safe = jnp.where(p > 1e-12, p, 1e-12)
@@ -59,7 +67,7 @@ def ecef_to_geodetic(r_ecef, iters: int = 10):
     sin_lat = jnp.sin(lat)
     n = a / jnp.sqrt(1.0 - e2 * sin_lat * sin_lat)
     alt = p_safe / jnp.cos(lat) - n
-    return jnp.stack([lat, lon, alt], axis=-1)
+    return lat, lon, alt
 
 
 def ecef_to_geodetic_deg(r_ecef):

@@ -370,7 +370,7 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
                      mm, argp32, node32, xmdf32, *, omgcof, eta, xmcof,
                      delmo, not_simp, cc1, d2, d3, d4, bstar, cc4, cc5,
                      sinmao, ecco, inclo, a, aycof, xlcof, con41, x1mth2,
-                     x7thm1, error0):
+                     x7thm1, error0, want_vel: bool = True):
     """The f32 near-earth tail: drag -> Kepler -> short-period -> TEME.
 
     Shared between the XLA shallow path of :func:`propagate_fast` and
@@ -378,7 +378,10 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
     execution engines. All grid inputs are f32 pre-reduced angles from
     the f64 spine; per-satellite fields broadcast. Returns the six
     position/velocity components + int32 error codes (components stay
-    separate so the Pallas kernel can store lane-aligned planes).
+    separate so the Pallas kernel can store lane-aligned planes); with
+    ``want_vel=False`` only (rx, ry, rz, error) — the velocity terms
+    (mvt/rvdot and the v-direction vectors) are never computed, the
+    reference's ``velocities=False`` fast path (api.py:23).
     """
     error = error0 + jnp.zeros(jnp.shape(u_base), jnp.int32)
 
@@ -413,12 +416,14 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
 
     return _kepler_posvel_f32(grav, kepler_iters, u_base, am, am_safe, nm,
                               em, argpp, sin_node, cos_node, sinip, cosip,
-                              aycof, xlcof, con41, x1mth2, x7thm1, error)
+                              aycof, xlcof, con41, x1mth2, x7thm1, error,
+                              want_vel=want_vel)
 
 
 def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
                        am_safe, nm, ep, argpp, sin_node, cos_node, sinip,
-                       cosip, aycof, xlcof, con41, x1mth2, x7thm1, error):
+                       cosip, aycof, xlcof, con41, x1mth2, x7thm1, error,
+                       want_vel: bool = True):
     """Long-period terms -> Kepler -> short-period -> TEME components,
     all f32 (Sgp4.zig:646-750). The common back half of the near-earth
     and deep-space tails (the reference likewise routes SDP4 through
@@ -442,8 +447,6 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     pl_safe = jnp.where(pl > 0.0, pl, _f32(1.0))
 
     rl = am * (1.0 - ecose)
-    rdotl = jnp.sqrt(am_safe) * esine / rl
-    rvdotl = jnp.sqrt(pl_safe) / rl
     betal = jnp.sqrt(jnp.abs(1.0 - el2))
     temp_b = esine / (1.0 + betal)
     sinu = am / rl * (sineo1 - aynl - axnl * temp_b)
@@ -461,24 +464,29 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
                            1.5 * temp2 * cosip * sin2u)
     sini, cosi = angle_add(sinip, cosip,
                            1.5 * temp2 * cosip * sinip * cos2u)
-    mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
-    rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
 
     xmx = -snod * cosi
     xmy = cnod * cosi
     ux = xmx * sinsu + cnod * cossu
     uy = xmy * sinsu + snod * cossu
     uz = sini * sinsu
-    vx_ = xmx * cossu - cnod * sinsu
-    vy_ = xmy * cossu - snod * sinsu
-    vz_ = sini * cossu
 
     re = _f32(grav.radius_earth_km)
-    vkmpersec = _f32(grav.radius_earth_km * grav.xke / 60.0)
     error = jnp.where((mrt < 1.0) & (error == 0), jnp.int32(6), error)
     ok = error == 0
     zero = _f32(0.0)
     mrt_re = jnp.where(ok, mrt * re, zero)
+    if not want_vel:
+        return mrt_re * ux, mrt_re * uy, mrt_re * uz, error
+
+    rdotl = jnp.sqrt(am_safe) * esine / rl
+    rvdotl = jnp.sqrt(pl_safe) / rl
+    mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
+    rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
+    vx_ = xmx * cossu - cnod * sinsu
+    vy_ = xmy * cossu - snod * sinsu
+    vz_ = sini * cossu
+    vkmpersec = _f32(grav.radius_earth_km * grav.xke / 60.0)
     mvt_s = jnp.where(ok, vkmpersec * mvt, zero)
     rvdot_s = jnp.where(ok, vkmpersec * rvdot, zero)
     return (mrt_re * ux, mrt_re * uy, mrt_re * uz,
@@ -921,7 +929,8 @@ def deep_spine_f64(els: Sgp4Elements, deep: DeepElements, t,
 
 def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
                   argp32, node32, nm_deep, *, cc1, bstar, cc4, ecco,
-                  inclo, dedt, didt, error0, **dpper_coeffs):
+                  inclo, dedt, didt, error0, want_vel: bool = True,
+                  **dpper_coeffs):
     """The f32 deep-space tail: simplified drag -> lunisolar periodics
     (dpper) -> per-point inclination coefficients -> Kepler ->
     short-period -> TEME (reference: Sdp4.zig propagateElementsCarry
@@ -985,4 +994,5 @@ def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
 
     return _kepler_posvel_f32(grav, kepler_iters, u, am, am_safe, nm, ep,
                               argpp, sin_node, cos_node, sinip, cosip,
-                              aycof, xlcof, con41, x1mth2, x7thm1, error)
+                              aycof, xlcof, con41, x1mth2, x7thm1, error,
+                              want_vel=want_vel)

@@ -40,38 +40,58 @@ _FIELD_NAMES = ("omgcof", "eta", "xmcof", "delmo", "cc1", "d2", "d3",
                 "a", "aycof", "xlcof", "con41", "x1mth2", "x7thm1")
 
 
-def _kernel(grav, kepler_iters, t_ref, ub_ref, mm_ref, ar_ref, no_ref,
-            xm_ref, fields_ref, simp_ref, err0_ref,
-            rx_ref, ry_ref, rz_ref, vx_ref, vy_ref, vz_ref, err_ref):
+def _store(out_refs, vals):
+    """Write a tail's output tuple (6+err or 3+err) to the out refs."""
+    for ref, val in zip(out_refs, vals):
+        ref[:] = val
+
+
+def _kernel(grav, kepler_iters, want_vel, t_ref, ub_ref, mm_ref, ar_ref,
+            no_ref, xm_ref, fields_ref, simp_ref, err0_ref, *out_refs):
     f = {name: fields_ref[i, :] for i, name in enumerate(_FIELD_NAMES)}
     f["not_simp"] = simp_ref[0, :] == 0
     f["error0"] = err0_ref[0, :]
-    rx, ry, rz, vx, vy, vz, err = shallow_tail_f32(
+    _store(out_refs, shallow_tail_f32(
         grav, kepler_iters, t_ref[:], ub_ref[:], mm_ref[:], ar_ref[:],
-        no_ref[:], xm_ref[:], **f)
-    rx_ref[:] = rx
-    ry_ref[:] = ry
-    rz_ref[:] = rz
-    vx_ref[:] = vx
-    vy_ref[:] = vy
-    vz_ref[:] = vz
-    err_ref[:] = err
+        no_ref[:], xm_ref[:], want_vel=want_vel, **f))
+
+
+def _out_count(want_vel: bool) -> int:
+    return 7 if want_vel else 4
+
+
+def _assemble(outs, n_times, n_sats, want_vel: bool):
+    """Stack exact-shape kernel planes to the (r, v, err) contract.
+
+    Output planes are EXACT (n_times, n_sats) — out_shape is not padded
+    to tile multiples; Mosaic masks the boundary-block stores — so the
+    only post-kernel work is the stack itself."""
+    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
+    if want_vel:
+        v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
+    else:
+        v = None
+    err = outs[-1][:n_times, :n_sats]
+    return r, v, err
 
 
 @functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
                                              "time_block", "sat_block",
-                                             "interpret"))
+                                             "interpret", "want_vel"))
 def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
                           kepler_iters: int = 5,
                           time_block: int = TIME_BLOCK,
                           sat_block: int = SAT_BLOCK,
-                          interpret: bool = False
+                          interpret: bool = False,
+                          want_vel: bool = True
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Near-earth dense-grid propagate through the Pallas engine.
 
     ``tsince``: (n_times, 1) or (n_times, n_sats) f64 minutes. Returns
-    (r, v, error) like :func:`ops.fast.propagate_fast` (shallow path).
-    Shapes are padded to tile multiples internally and trimmed.
+    (r, v, error) like :func:`ops.fast.propagate_fast` (shallow path);
+    ``v`` is None with ``want_vel=False`` (4-plane kernel — velocity
+    terms never computed). Inputs are padded to tile multiples
+    internally; outputs are exact (boundary-block stores are masked).
     """
     t = jnp.asarray(tsince)
     n_sats = els.no_kozai.shape[0]
@@ -104,6 +124,7 @@ def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
     def col_map(i, j):
         return (i - i, j)
 
+    n_out = _out_count(want_vel)
     grid = (tt // time_block, ss // sat_block)
     grid_spec = pl.GridSpec(
         grid=grid,
@@ -118,23 +139,19 @@ def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((time_block, sat_block),
                                 lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * 7,
+                                memory_space=pltpu.VMEM)] * n_out,
     )
-    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    # EXACT out shapes: Mosaic masks boundary-block stores, so no
+    # output padding and no post-kernel trim copy
+    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     outs = pl.pallas_call(
-        functools.partial(_kernel, grav, kepler_iters),
-        out_shape=[shape_f] * 6 + [shape_i],
+        functools.partial(_kernel, grav, kepler_iters, want_vel),
+        out_shape=[shape_f] * (n_out - 1) + [shape_i],
         grid_spec=grid_spec,
         interpret=interpret,
     )(*grids, fields, simp, err0)
-
-    # stack-then-trim in one expression so XLA fuses the pad-trim
-    # slice into the stack instead of copying each plane twice
-    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
-    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
-    err = outs[6][:n_times, :n_sats]
-    return r, v, err
+    return _assemble(outs, n_times, n_sats, want_vel)
 
 
 # ---------------------------------------------------------------------------
@@ -147,9 +164,8 @@ from .fastmath import no_barriers, split_f64
 _ALL_FIELDS = tuple(SPINE_FIELD_NAMES) + _FIELD_NAMES
 
 
-def _kernel_fused(grav, kepler_iters, th_ref, tl_ref, fields_ref,
-                  simp_ref, err0_ref, rx_ref, ry_ref, rz_ref, vx_ref,
-                  vy_ref, vz_ref, err_ref):
+def _kernel_fused(grav, kepler_iters, want_vel, th_ref, tl_ref,
+                  fields_ref, simp_ref, err0_ref, *out_refs):
     sf = {name: fields_ref[i, :] for i, name in
           enumerate(SPINE_FIELD_NAMES)}
     off = len(SPINE_FIELD_NAMES)
@@ -158,25 +174,19 @@ def _kernel_fused(grav, kepler_iters, th_ref, tl_ref, fields_ref,
     f["not_simp"] = simp_ref[0, :] == 0
     f["error0"] = err0_ref[0, :]
     spine = spine_df32(th_ref[:], tl_ref[:], **sf)
-    rx, ry, rz, vx, vy, vz, err = shallow_tail_f32(
-        grav, kepler_iters, *spine, **f)
-    rx_ref[:] = rx
-    ry_ref[:] = ry
-    rz_ref[:] = rz
-    vx_ref[:] = vx
-    vy_ref[:] = vy
-    vz_ref[:] = vz
-    err_ref[:] = err
+    _store(out_refs, shallow_tail_f32(
+        grav, kepler_iters, *spine, want_vel=want_vel, **f))
 
 
 @functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
                                              "time_block", "sat_block",
-                                             "interpret"))
+                                             "interpret", "want_vel"))
 def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
                                 grav: GravityModel, kepler_iters: int = 5,
                                 time_block: int = TIME_BLOCK,
                                 sat_block: int = SAT_BLOCK,
-                                interpret: bool = False
+                                interpret: bool = False,
+                                want_vel: bool = True
                                 ) -> Tuple[jax.Array, jax.Array,
                                            jax.Array]:
     """Near-earth propagate with the whole computation in one Pallas
@@ -207,6 +217,7 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
     def col_map(i, j):
         return (i - i, j)
 
+    n_out = _out_count(want_vel)
     grid_spec = pl.GridSpec(
         grid=(tt // time_block, ss // sat_block),
         in_specs=[pl.BlockSpec((time_block, sat_block),
@@ -220,24 +231,21 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((time_block, sat_block),
                                 lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * 7,
+                                memory_space=pltpu.VMEM)] * n_out,
     )
-    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    # EXACT out shapes: Mosaic masks boundary-block stores, so no
+    # output padding and no post-kernel trim copy
+    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     with no_barriers():
         outs = pl.pallas_call(
-            functools.partial(_kernel_fused, grav, kepler_iters),
-            out_shape=[shape_f] * 6 + [shape_i],
+            functools.partial(_kernel_fused, grav, kepler_iters,
+                              want_vel),
+            out_shape=[shape_f] * (n_out - 1) + [shape_i],
             grid_spec=grid_spec,
             interpret=interpret,
         )(th, tl, fields, simp, err0)
-
-    # stack-then-trim in one expression so XLA fuses the pad-trim
-    # slice into the stack instead of copying each plane twice
-    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
-    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
-    err = outs[6][:n_times, :n_sats]
-    return r, v, err
+    return _assemble(outs, n_times, n_sats, want_vel)
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +255,8 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
 from .fastmath import df_add
 
 
-def _kernel_fused_sep(grav, kepler_iters, ah_ref, al_ref, fields_ref,
-                      simp_ref, err0_ref, rx_ref, ry_ref, rz_ref, vx_ref,
-                      vy_ref, vz_ref, err_ref):
+def _kernel_fused_sep(grav, kepler_iters, want_vel, ah_ref, al_ref,
+                      fields_ref, simp_ref, err0_ref, *out_refs):
     sf = {name: fields_ref[i, :] for i, name in
           enumerate(SPINE_FIELD_NAMES)}
     off = len(SPINE_FIELD_NAMES)
@@ -265,26 +272,21 @@ def _kernel_fused_sep(grav, kepler_iters, ah_ref, al_ref, fields_ref,
     # ever exists in HBM
     th, tl = df_add(ah_ref[:], al_ref[:], -bh, -bl)
     spine = spine_df32(th, tl, **sf)
-    rx, ry, rz, vx, vy, vz, err = shallow_tail_f32(
-        grav, kepler_iters, *spine, **f)
-    rx_ref[:] = rx
-    ry_ref[:] = ry
-    rz_ref[:] = rz
-    vx_ref[:] = vx
-    vy_ref[:] = vy
-    vz_ref[:] = vz
-    err_ref[:] = err
+    _store(out_refs, shallow_tail_f32(
+        grav, kepler_iters, *spine, want_vel=want_vel, **f))
 
 
 @functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
                                              "time_block", "sat_block",
-                                             "interpret", "planes"))
+                                             "interpret", "planes",
+                                             "want_vel"))
 def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
                               grav: GravityModel, kepler_iters: int = 5,
                               time_block: int = TIME_BLOCK,
                               sat_block: int = SAT_BLOCK,
                               interpret: bool = False,
-                              planes: bool = False
+                              planes: bool = False,
+                              want_vel: bool = True
                               ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Fused Pallas propagate with a separable time grid:
     ``tsince[t, s] = t_time[t] - t_sat[s]`` (minutes). Used by the
@@ -292,10 +294,11 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
     epoch_jd * 1440`` — the per-lane epoch subtraction happens in
     double-f32 inside the kernel, so the XLA prologue is O(T + S).
 
-    With ``planes=True``, returns the raw PADDED kernel output planes
-    ``(x, y, z, vx, vy, vz, err)``, each ``(tt, ss)`` — callers that
-    scatter deep-space results in must do it on these planes and stack
-    afterwards: stacking to ``(..., 3)`` first forces XLA to
+    With ``planes=True``, returns the raw kernel output planes
+    ``(x, y, z[, vx, vy, vz], err)``, each EXACT ``(n_times, n_sats)``
+    (boundary-block stores are masked, so no pad trim exists) — callers
+    that scatter deep-space results in must do it on these planes and
+    stack afterwards: stacking to ``(..., 3)`` first forces XLA to
     materialize the minor-dim-3 layout and every later op on it pays
     full relayout copies (measured ~6 ms per 233 MB plane set)."""
     t_time = jnp.asarray(t_time)
@@ -332,6 +335,7 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
     def time_map(i, j):
         return (i, j - j)
 
+    n_out = _out_count(want_vel)
     grid_spec = pl.GridSpec(
         grid=(tt // time_block, ss // sat_block),
         in_specs=[pl.BlockSpec((time_block, 1), time_map,
@@ -344,26 +348,24 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((time_block, sat_block),
                                 lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * 7,
+                                memory_space=pltpu.VMEM)] * n_out,
     )
-    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    # EXACT out shapes: Mosaic masks boundary-block stores, so no
+    # output padding and no post-kernel trim copy
+    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     with no_barriers():
         outs = pl.pallas_call(
-            functools.partial(_kernel_fused_sep, grav, kepler_iters),
-            out_shape=[shape_f] * 6 + [shape_i],
+            functools.partial(_kernel_fused_sep, grav, kepler_iters,
+                              want_vel),
+            out_shape=[shape_f] * (n_out - 1) + [shape_i],
             grid_spec=grid_spec,
             interpret=interpret,
         )(ah, al, fields, simp, err0)
 
     if planes:
         return outs
-    # stack-then-trim in one expression so XLA fuses the pad-trim
-    # slice into the stack instead of copying each plane twice
-    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
-    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
-    err = outs[6][:n_times, :n_sats]
-    return r, v, err
+    return _assemble(outs, n_times, n_sats, want_vel)
 
 
 # ---------------------------------------------------------------------------
@@ -382,33 +384,27 @@ from .fast import DEEP_FIELD_NAMES, deep_f32_fields, deep_spine_f64, \
 DEEP_SAT_BLOCK = 256
 
 
-def _kernel_deep(grav, kepler_iters, t_ref, ub_ref, mm_ref, ar_ref,
-                 no_ref, nm_ref, fields_ref, err0_ref, rx_ref, ry_ref,
-                 rz_ref, vx_ref, vy_ref, vz_ref, err_ref):
+def _kernel_deep(grav, kepler_iters, want_vel, t_ref, ub_ref, mm_ref,
+                 ar_ref, no_ref, nm_ref, fields_ref, err0_ref, *out_refs):
     f = {name: fields_ref[i, :] for i, name in enumerate(DEEP_FIELD_NAMES)}
     f["error0"] = err0_ref[0, :]
-    rx, ry, rz, vx, vy, vz, err = deep_tail_f32(
+    _store(out_refs, deep_tail_f32(
         grav, kepler_iters, t_ref[:], ub_ref[:], mm_ref[:], ar_ref[:],
-        no_ref[:], nm_ref[:], **f)
-    rx_ref[:] = rx
-    ry_ref[:] = ry
-    rz_ref[:] = rz
-    vx_ref[:] = vx
-    vy_ref[:] = vy
-    vz_ref[:] = vz
-    err_ref[:] = err
+        no_ref[:], nm_ref[:], want_vel=want_vel, **f))
 
 
 @functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
                                              "resonance_steps",
                                              "time_block", "sat_block",
-                                             "interpret", "planes"))
+                                             "interpret", "planes",
+                                             "want_vel"))
 def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
                           grav: GravityModel, kepler_iters: int = 8,
                           resonance_steps: Optional[int] = None,
                           time_block: int = TIME_BLOCK,
                           sat_block: int = DEEP_SAT_BLOCK,
-                          interpret: bool = False, planes: bool = False
+                          interpret: bool = False, planes: bool = False,
+                          want_vel: bool = True
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Deep-subset dense-grid propagate through the Pallas engine.
 
@@ -416,8 +412,8 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
     partition guarantees this). ``tsince``: (n_times, 1) or
     (n_times, n_sats) f64 minutes. Returns (r, v, error) like the XLA
     deep path (``propagate_fast`` with all-deep elements); with
-    ``planes=True`` returns the raw padded component planes for the
-    plane-scatter merge (see propagate_fast_pallas_sep).
+    ``planes=True`` returns the raw exact-shape component planes for
+    the plane-scatter merge (see propagate_fast_pallas_sep).
     """
     t = jnp.asarray(tsince)
     n_sats = els.no_kozai.shape[0]
@@ -444,6 +440,7 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
     def col_map(i, j):
         return (i - i, j)
 
+    n_out = _out_count(want_vel)
     grid_spec = pl.GridSpec(
         grid=(tt // time_block, ss // sat_block),
         in_specs=[pl.BlockSpec((time_block, sat_block),
@@ -455,20 +452,19 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
                         memory_space=pltpu.VMEM)],
         out_specs=[pl.BlockSpec((time_block, sat_block),
                                 lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * 7,
+                                memory_space=pltpu.VMEM)] * n_out,
     )
-    shape_f = jax.ShapeDtypeStruct((tt, ss), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((tt, ss), jnp.int32)
+    # EXACT out shapes: Mosaic masks boundary-block stores, so no
+    # output padding and no post-kernel trim copy
+    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     outs = pl.pallas_call(
-        functools.partial(_kernel_deep, grav, kepler_iters),
-        out_shape=[shape_f] * 6 + [shape_i],
+        functools.partial(_kernel_deep, grav, kepler_iters, want_vel),
+        out_shape=[shape_f] * (n_out - 1) + [shape_i],
         grid_spec=grid_spec,
         interpret=interpret,
     )(*grids, fields, err0)
 
     if planes:
         return outs
-    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
-    v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
-    err = outs[6][:n_times, :n_sats]
-    return r, v, err
+    return _assemble(outs, n_times, n_sats, want_vel)

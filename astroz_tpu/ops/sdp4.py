@@ -159,7 +159,7 @@ def fresh_carry(deep: DeepElements, no_unkozai) -> ResonanceCarry:
 # ---------------------------------------------------------------------------
 
 
-def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_):
+def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_, xp=jnp):
     """Solar + lunar common terms. Returns a dict of everything dsinit
     and the periodic-coefficient assembly need.
 
@@ -168,31 +168,31 @@ def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_):
     """
     nm = np_
     em = ep
-    snodm = jnp.sin(nodep)
-    cnodm = jnp.cos(nodep)
-    sinomm = jnp.sin(argpp)
-    cosomm = jnp.cos(argpp)
-    sinim = jnp.sin(inclp)
-    cosim = jnp.cos(inclp)
+    snodm = xp.sin(nodep)
+    cnodm = xp.cos(nodep)
+    sinomm = xp.sin(argpp)
+    cosomm = xp.cos(argpp)
+    sinim = xp.sin(inclp)
+    cosim = xp.cos(inclp)
     emsq = em * em
     betasq = 1.0 - emsq
-    rtemsq = jnp.sqrt(betasq)
+    rtemsq = xp.sqrt(betasq)
 
     day = epoch_jd - 2415020.0 + tc / 1440.0
-    xnodce = jnp.fmod(4.5236020 - 9.2422029e-4 * day, TWO_PI)
-    stem = jnp.sin(xnodce)
-    ctem = jnp.cos(xnodce)
+    xnodce = xp.fmod(4.5236020 - 9.2422029e-4 * day, TWO_PI)
+    stem = xp.sin(xnodce)
+    ctem = xp.cos(xnodce)
     zcosil = 0.91375164 - 0.03568096 * ctem
-    zsinil = jnp.sqrt(1.0 - zcosil * zcosil)
+    zsinil = xp.sqrt(1.0 - zcosil * zcosil)
     zsinhl = 0.089683511 * stem / zsinil
-    zcoshl = jnp.sqrt(1.0 - zsinhl * zsinhl)
+    zcoshl = xp.sqrt(1.0 - zsinhl * zsinhl)
     gam = 5.8351514 + 0.0019443680 * day
     zx = 0.39785416 * stem / zsinil
     zy = zcoshl * ctem + 0.91744867 * zsinhl * stem
-    zx = jnp.arctan2(zx, zy)
+    zx = xp.arctan2(zx, zy)
     zx = gam + zx - xnodce
-    zcosgl = jnp.cos(zx)
-    zsingl = jnp.sin(zx)
+    zcosgl = xp.cos(zx)
+    zsingl = xp.sin(zx)
 
     def pass_terms(zcosg, zsing, zcosi, zsini, zcosh, zsinh, cc):
         xnoi = 1.0 / nm
@@ -252,8 +252,8 @@ def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_):
                      zcoshl * cnodm + zsinhl * snodm,
                      snodm * zcoshl - cnodm * zsinhl, C1L)
 
-    zmol = jnp.fmod(4.7199672 + 0.22997150 * day - gam, TWO_PI)
-    zmos = jnp.fmod(6.2565837 + 0.017201977 * day, TWO_PI)
+    zmol = xp.fmod(4.7199672 + 0.22997150 * day - gam, TWO_PI)
+    zmos = xp.fmod(6.2565837 + 0.017201977 * day, TWO_PI)
 
     # periodic coefficients: solar (s-prefixed) from the solar pass,
     # lunar from the lunar pass
@@ -294,24 +294,17 @@ def _dscom(epoch_jd, ep, argpp, tc, inclp, nodep, np_):
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("grav",))
-def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
-    """Deep-space init for a whole catalog at once (jitted: one XLA
-    program instead of one remote dispatch per elementwise op).
-
-    Computes dscom/dsinit for every satellite densely, then zeroes all
-    coefficients where ``~els.is_deep`` so that near-earth lanes are
-    exact no-ops in the unified propagate — mixed catalogs never split
-    (improves on the reference's separate batch lists,
-    Constellation.zig:115-184).
-    """
+def _sdp4_init_core(xp, grav: GravityModel,
+                    els: Sgp4Elements) -> DeepElements:
+    """Module-parametric dsinit body (``xp`` = jnp or numpy; see
+    :func:`sdp4_init_np`)."""
     ecco, inclo, nodeo, argpo, mo = (els.ecco, els.inclo, els.nodeo,
                                      els.argpo, els.mo)
     no = els.no_unkozai
     eccsq = ecco * ecco
-    tc = jnp.zeros_like(no)
+    tc = xp.zeros_like(no)
 
-    d = _dscom(els.epoch_jd, ecco, argpo, tc, inclo, nodeo, no)
+    d = _dscom(els.epoch_jd, ecco, argpo, tc, inclo, nodeo, no, xp=xp)
     sol, lun = d["sol"], d["lun"]
     sinim, cosim, emsq = d["sinim"], d["cosim"], d["emsq"]
 
@@ -322,10 +315,10 @@ def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
     sghs = sol["s4"] * ZNS * (sol["z31"] + sol["z33"] - 6.0)
     shs = -ZNS * sol["s2"] * (sol["z21"] + sol["z23"])
     near_eq = (inclo < 5.2359877e-2) | (inclo > PI - 5.2359877e-2)
-    shs = jnp.where(near_eq, 0.0, shs)
+    shs = xp.where(near_eq, 0.0, shs)
     sin_ok = sinim != 0.0
-    safe_sinim = jnp.where(sin_ok, sinim, 1.0)
-    shs = jnp.where(sin_ok, shs / safe_sinim, shs)
+    safe_sinim = xp.where(sin_ok, sinim, 1.0)
+    shs = xp.where(sin_ok, shs / safe_sinim, shs)
     sgs = sghs - cosim * shs
 
     dedt = ses + lun["s1"] * ZNL * lun["s5"]
@@ -334,20 +327,21 @@ def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
                                     - 14.0 - 6.0 * emsq)
     sghl = lun["s4"] * ZNL * (lun["z31"] + lun["z33"] - 6.0)
     shll = -ZNL * lun["s2"] * (lun["z21"] + lun["z23"])
-    shll = jnp.where(near_eq, 0.0, shll)
+    shll = xp.where(near_eq, 0.0, shll)
     domdt = sgs + sghl
     dnodt = shs
-    domdt = jnp.where(sin_ok, domdt - cosim / safe_sinim * shll, domdt)
-    dnodt = jnp.where(sin_ok, dnodt + shll / safe_sinim, dnodt)
+    domdt = xp.where(sin_ok, domdt - cosim / safe_sinim * shll, domdt)
+    dnodt = xp.where(sin_ok, dnodt + shll / safe_sinim, dnodt)
 
     # ---- resonance classification (Sdp4.zig:574-580) --------------------
     nm = no
-    irez = jnp.zeros(jnp.shape(nm), jnp.int32)
-    irez = jnp.where((nm < 0.0052359877) & (nm > 0.0034906585), 1, irez)
-    irez = jnp.where((nm >= 8.26e-3) & (nm <= 9.24e-3) & (ecco >= 0.5),
-                     2, irez)
+    irez = xp.zeros(xp.shape(nm), xp.int32)
+    irez = xp.where((nm < 0.0052359877) & (nm > 0.0034906585),
+                    xp.int32(1), irez)
+    irez = xp.where((nm >= 8.26e-3) & (nm <= 9.24e-3) & (ecco >= 0.5),
+                    xp.int32(2), irez)
 
-    theta = jnp.fmod(els.gsto, TWO_PI)
+    theta = xp.fmod(els.gsto, TWO_PI)
     aonv = (nm / grav.xke) ** X2O3
 
     # ---- half-day resonance (irez == 2): G-functions + D-terms ---------
@@ -357,42 +351,42 @@ def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
     g201 = -0.306 - (em - 0.64) * 0.440
 
     lo = em <= 0.65
-    g211 = jnp.where(lo, 3.616 - 13.2470 * em + 16.2900 * emsq_r,
+    g211 = xp.where(lo, 3.616 - 13.2470 * em + 16.2900 * emsq_r,
                      -72.099 + 331.819 * em - 508.738 * emsq_r
                      + 266.724 * eoc)
-    g310 = jnp.where(lo, -19.302 + 117.3900 * em - 228.4190 * emsq_r
+    g310 = xp.where(lo, -19.302 + 117.3900 * em - 228.4190 * emsq_r
                      + 156.5910 * eoc,
                      -346.844 + 1582.851 * em - 2415.925 * emsq_r
                      + 1246.113 * eoc)
-    g322 = jnp.where(lo, -18.9068 + 109.7927 * em - 214.6334 * emsq_r
+    g322 = xp.where(lo, -18.9068 + 109.7927 * em - 214.6334 * emsq_r
                      + 146.5816 * eoc,
                      -342.585 + 1554.908 * em - 2366.899 * emsq_r
                      + 1215.972 * eoc)
-    g410 = jnp.where(lo, -41.122 + 242.6940 * em - 471.0940 * emsq_r
+    g410 = xp.where(lo, -41.122 + 242.6940 * em - 471.0940 * emsq_r
                      + 313.9530 * eoc,
                      -1052.797 + 4758.686 * em - 7193.992 * emsq_r
                      + 3651.957 * eoc)
-    g422 = jnp.where(lo, -146.407 + 841.8800 * em - 1629.014 * emsq_r
+    g422 = xp.where(lo, -146.407 + 841.8800 * em - 1629.014 * emsq_r
                      + 1083.4350 * eoc,
                      -3581.690 + 16178.110 * em - 24462.770 * emsq_r
                      + 12422.520 * eoc)
-    g520 = jnp.where(
+    g520 = xp.where(
         lo,
         -532.114 + 3017.977 * em - 5740.032 * emsq_r + 3708.2760 * eoc,
-        jnp.where(em > 0.715,
+        xp.where(em > 0.715,
                   -5149.66 + 29936.92 * em - 54087.36 * emsq_r
                   + 31324.56 * eoc,
                   1464.74 - 4664.75 * em + 3763.64 * emsq_r))
     lo7 = em < 0.7
-    g533 = jnp.where(lo7, -919.22770 + 4988.6100 * em
+    g533 = xp.where(lo7, -919.22770 + 4988.6100 * em
                      - 9064.7700 * emsq_r + 5542.21 * eoc,
                      -37995.780 + 161616.52 * em - 229838.20 * emsq_r
                      + 109377.94 * eoc)
-    g521 = jnp.where(lo7, -822.71072 + 4568.6173 * em
+    g521 = xp.where(lo7, -822.71072 + 4568.6173 * em
                      - 8491.4146 * emsq_r + 5337.524 * eoc,
                      -51752.104 + 218913.95 * em - 309468.16 * emsq_r
                      + 146349.42 * eoc)
-    g532 = jnp.where(lo7, -853.66600 + 4690.2500 * em
+    g532 = xp.where(lo7, -853.66600 + 4690.2500 * em
                      - 8624.7700 * emsq_r + 5341.4 * eoc,
                      -40023.880 + 170470.89 * em - 242699.48 * emsq_r
                      + 115605.82 * eoc)
@@ -438,7 +432,7 @@ def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
     temp = 2.0 * temp1 * ROOT54
     d5421 = temp * f542 * g521
     d5433 = temp * f543 * g533
-    xlamo2 = jnp.fmod(mo + nodeo + nodeo - theta - theta, TWO_PI)
+    xlamo2 = xp.fmod(mo + nodeo + nodeo - theta - theta, TWO_PI)
     xfact2 = (els.mdot + dmdt
               + 2.0 * (els.nodedot + dnodt - RPTIM) - no)
 
@@ -455,30 +449,30 @@ def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
     del2 = 2.0 * del1 * f220g * g200 * Q22
     del3 = 3.0 * del1 * f330 * g300 * Q33 * aonv
     del1 = del1 * f311 * g310g * Q31 * aonv
-    xlamo1 = jnp.fmod(mo + nodeo + argpo - theta, TWO_PI)
+    xlamo1 = xp.fmod(mo + nodeo + argpo - theta, TWO_PI)
     xpidot = els.argpdot + els.nodedot
     xfact1 = (els.mdot + xpidot - RPTIM + dmdt + domdt + dnodt - no)
 
     # merge by irez
     is1 = irez == 1
     is2 = irez == 2
-    xlamo = jnp.where(is1, xlamo1, jnp.where(is2, xlamo2, 0.0))
-    xfact = jnp.where(is1, xfact1, jnp.where(is2, xfact2, 0.0))
+    xlamo = xp.where(is1, xlamo1, xp.where(is2, xlamo2, 0.0))
+    xfact = xp.where(is1, xfact1, xp.where(is2, xfact2, 0.0))
 
     def mask2(x):
-        return jnp.where(is2, x, 0.0)
+        return xp.where(is2, x, 0.0)
 
     def mask1(x):
-        return jnp.where(is1, x, 0.0)
+        return xp.where(is1, x, 0.0)
 
     # zero everything on near-earth lanes so the unified kernel no-ops
     deep_mask = els.is_deep
 
     def md(x):
-        return jnp.where(deep_mask, x, 0.0)
+        return xp.where(deep_mask, x, 0.0)
 
     return DeepElements(
-        irez=jnp.where(deep_mask, irez, 0),
+        irez=xp.where(deep_mask, irez, xp.int32(0)),
         zmol=d["zmol"], zmos=d["zmos"],
         se2=md(d["se2"]), se3=md(d["se3"]), si2=md(d["si2"]),
         si3=md(d["si3"]), sl2=md(d["sl2"]), sl3=md(d["sl3"]),
@@ -498,6 +492,28 @@ def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
         d5421=md(mask2(d5421)), d5433=md(mask2(d5433)),
         xfact=md(xfact), xlamo=md(xlamo),
     )
+
+
+@partial(jax.jit, static_argnames=("grav",))
+def sdp4_init(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
+    """Deep-space init for a whole catalog at once (jitted: one XLA
+    program instead of one remote dispatch per elementwise op).
+
+    Computes dscom/dsinit for every satellite densely, then zeroes all
+    coefficients where ``~els.is_deep`` so that near-earth lanes are
+    exact no-ops in the unified propagate — mixed catalogs never split
+    (improves on the reference's separate batch lists,
+    Constellation.zig:115-184).
+    """
+    return _sdp4_init_core(jnp, grav, els)
+
+
+def sdp4_init_np(grav: GravityModel, els: Sgp4Elements) -> DeepElements:
+    """Numpy-executed deep-space init (see ops.sgp4.sgp4_init_np): the
+    host ingest path's zero-compilation form. ``els`` leaves must be
+    numpy arrays."""
+    import numpy as np
+    return _sdp4_init_core(np, grav, els)
 
 
 # ---------------------------------------------------------------------------

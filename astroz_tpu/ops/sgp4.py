@@ -98,13 +98,13 @@ class Sgp4Elements(NamedTuple):
         return self.no_kozai.shape[0] if self.no_kozai.ndim else 1
 
 
-def _unkozai(no_kozai, ecco, inclo, grav: GravityModel):
+def _unkozai(no_kozai, ecco, inclo, grav: GravityModel, xp=jnp):
     """Kozai -> Brouwer mean motion recovery (reference: Sgp4.zig:206-228)."""
-    cosio = jnp.cos(inclo)
+    cosio = xp.cos(inclo)
     cosio2 = cosio * cosio
     eccsq = ecco * ecco
     omeosq = 1.0 - eccsq
-    rteosq = jnp.sqrt(omeosq)
+    rteosq = xp.sqrt(omeosq)
     ak = (grav.xke / no_kozai) ** X2O3
     d1 = 0.75 * grav.j2 * (3.0 * cosio2 - 1.0) / (rteosq * omeosq)
     del_ = d1 / (ak * ak)
@@ -115,40 +115,34 @@ def _unkozai(no_kozai, ecco, inclo, grav: GravityModel):
     return no_unkozai, omeosq, rteosq, cosio, cosio2
 
 
-@partial(jax.jit, static_argnames=("grav",))
-def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
-              mo, bstar, epoch_jd) -> Sgp4Elements:
-    """Precompute SGP4 coefficients for one or many satellites.
-
-    All arguments broadcast elementwise; pass full-catalog arrays to get
-    a vectorized init (the analogue of the reference's per-satellite
-    ``initElements`` loop + SoA transpose, Sgp4.zig:108-417 /
-    Sgp4Batch.zig:78-110, fused into one XLA program). Jitted: on a
-    remote TPU backend an unjitted init pays one network round trip per
-    elementwise op — ~400 s for a full catalog vs ~1 s compiled.
-    """
-    dt = jnp.result_type(1.0)
-    no_kozai = jnp.asarray(no_kozai, dt)
-    ecco = jnp.asarray(ecco, dt)
-    inclo = jnp.asarray(inclo, dt)
-    nodeo = jnp.asarray(nodeo, dt)
-    argpo = jnp.asarray(argpo, dt)
-    mo = jnp.asarray(mo, dt)
-    bstar = jnp.asarray(bstar, dt)
-    epoch_jd = jnp.asarray(epoch_jd, dt)
+def _sgp4_init_core(xp, grav: GravityModel, *, no_kozai, ecco, inclo,
+                    nodeo, argpo, mo, bstar, epoch_jd) -> Sgp4Elements:
+    """Module-parametric init body: ``xp`` is ``jnp`` (jitted device
+    path) or ``numpy`` (host ingest path — zero XLA compilation, see
+    :func:`sgp4_init_np`). Every formula is an elementwise op both
+    modules implement identically in f64."""
+    dt = xp.float64 if xp is not jnp else xp.result_type(1.0)
+    no_kozai = xp.asarray(no_kozai, dt)
+    ecco = xp.asarray(ecco, dt)
+    inclo = xp.asarray(inclo, dt)
+    nodeo = xp.asarray(nodeo, dt)
+    argpo = xp.asarray(argpo, dt)
+    mo = xp.asarray(mo, dt)
+    bstar = xp.asarray(bstar, dt)
+    epoch_jd = xp.asarray(epoch_jd, dt)
 
     re = grav.radius_earth_km
     j2, j3oj2, j4 = grav.j2, grav.j3oj2, grav.j4
 
     # ---- input validation -> error flags (reference: Sgp4.zig:111-123) --
-    safe_no = jnp.where(no_kozai > 0.0, no_kozai, 1e-8)
-    safe_ecc = jnp.clip(ecco, 0.0, 0.999999)
+    safe_no = xp.where(no_kozai > 0.0, no_kozai, 1e-8)
+    safe_ecc = xp.clip(ecco, 0.0, 0.999999)
 
     no_unkozai, omeosq, rteosq, cosio, cosio2 = _unkozai(
-        safe_no, safe_ecc, inclo, grav)
+        safe_no, safe_ecc, inclo, grav, xp)
 
     ao = (grav.xke / no_unkozai) ** X2O3
-    sinio = jnp.sin(inclo)
+    sinio = xp.sin(inclo)
     po = ao * omeosq
     con42 = 1.0 - 5.0 * cosio2
     con41 = -con42 - cosio2 - cosio2
@@ -156,18 +150,18 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
     rp = ao * (1.0 - safe_ecc)
     is_deep = (TWO_PI / no_unkozai) >= SGP4_DEEP_SPACE_THRESHOLD_MINUTES
 
-    gsto = gstime(epoch_jd)
+    gsto = gstime(epoch_jd, xp=xp)
 
     # ---- s-parameter tuning for low perigee (Sgp4.zig:301-382) ----------
     ss = 78.0 / re + 1.0
     qzms2t = ((120.0 - 78.0) / re) ** 4
     perige = (rp - 1.0) * re
 
-    sfour_adj = jnp.where(perige < 98.0, 20.0, perige - 78.0)
-    qzms24 = jnp.where(perige < 156.0,
+    sfour_adj = xp.where(perige < 98.0, 20.0, perige - 78.0)
+    qzms24 = xp.where(perige < 156.0,
                        ((120.0 - sfour_adj) / re) ** 4,
                        qzms2t)
-    sfour = jnp.where(perige < 156.0, sfour_adj / re + 1.0, ss)
+    sfour = xp.where(perige < 156.0, sfour_adj / re + 1.0, ss)
 
     isimp = (rp < (220.0 / re + 1.0)) | is_deep
 
@@ -176,7 +170,7 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
     eta = ao * safe_ecc * tsi
     etasq = eta * eta
     eeta = safe_ecc * eta
-    psisq = jnp.abs(1.0 - etasq)
+    psisq = xp.abs(1.0 - etasq)
     coef = qzms24 * tsi ** 4
     coef1 = coef / psisq ** 3.5
     cc2 = coef1 * no_unkozai * (
@@ -185,10 +179,10 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
         * (8.0 + 3.0 * etasq * (8.0 + etasq)))
     cc1 = bstar * cc2
     big_e = safe_ecc > 1.0e-4
-    cc3 = jnp.where(
+    cc3 = xp.where(
         big_e,
         -2.0 * coef * tsi * j3oj2 * no_unkozai * sinio
-        / jnp.where(big_e, safe_ecc, 1.0),
+        / xp.where(big_e, safe_ecc, 1.0),
         0.0)
     x1mth2 = 1.0 - cosio2
     cc4 = 2.0 * no_unkozai * coef1 * ao * omeosq * (
@@ -197,7 +191,7 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
         - j2 * tsi / (ao * psisq)
         * (-3.0 * con41 * (1.0 - 2.0 * eeta + etasq * (1.5 - 0.5 * eeta))
            + 0.75 * x1mth2 * (2.0 * etasq - eeta * (1.0 + etasq))
-           * jnp.cos(2.0 * argpo)))
+           * xp.cos(2.0 * argpo)))
     cc5 = 2.0 * coef1 * ao * omeosq * (
         1.0 + 2.75 * (etasq + eeta) + eeta * etasq)
 
@@ -214,22 +208,22 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
     xhdot1 = -temp1 * cosio
     nodedot = xhdot1 + (0.5 * temp2 * (4.0 - 19.0 * cosio2)
                         + 2.0 * temp3 * (3.0 - 7.0 * cosio2)) * cosio
-    omgcof = bstar * cc3 * jnp.cos(argpo)
-    xmcof = jnp.where(big_e,
-                      -X2O3 * coef * bstar / jnp.where(big_e, eeta, 1.0),
+    omgcof = bstar * cc3 * xp.cos(argpo)
+    xmcof = xp.where(big_e,
+                      -X2O3 * coef * bstar / xp.where(big_e, eeta, 1.0),
                       0.0)
     nodecf = 3.5 * omeosq * xhdot1 * cc1
     t2cof = 1.5 * cc1
 
-    near_180 = jnp.abs(cosio + 1.0) > 1.5e-12
-    xlcof = jnp.where(
+    near_180 = xp.abs(cosio + 1.0) > 1.5e-12
+    xlcof = xp.where(
         near_180,
         -0.25 * j3oj2 * sinio * (3.0 + 5.0 * cosio)
-        / jnp.where(near_180, 1.0 + cosio, 1.0),
+        / xp.where(near_180, 1.0 + cosio, 1.0),
         -0.25 * j3oj2 * sinio * (3.0 + 5.0 * cosio) / _TEMP4)
     aycof = -0.5 * j3oj2 * sinio
-    delmo = (1.0 + eta * jnp.cos(mo)) ** 3
-    sinmao = jnp.sin(mo)
+    delmo = (1.0 + eta * xp.cos(mo)) ** 3
+    sinmao = xp.sin(mo)
     x7thm1 = 7.0 * cosio2 - 1.0
 
     # ---- higher-order drag (isimp == 0 only; Sgp4.zig:394-417) ----------
@@ -242,17 +236,17 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
     t4cof = 0.25 * (3.0 * d3 + cc1 * (12.0 * d2 + 10.0 * cc1sq))
     t5cof = 0.2 * (3.0 * d4 + 12.0 * cc1 * d3 + 6.0 * d2 * d2
                    + 15.0 * cc1sq * (2.0 * d2 + cc1sq))
-    zero = jnp.zeros_like(d2)
-    d2 = jnp.where(isimp, zero, d2)
-    d3 = jnp.where(isimp, zero, d3)
-    d4 = jnp.where(isimp, zero, d4)
-    t3cof = jnp.where(isimp, zero, t3cof)
-    t4cof = jnp.where(isimp, zero, t4cof)
-    t5cof = jnp.where(isimp, zero, t5cof)
+    zero = xp.zeros_like(d2)
+    d2 = xp.where(isimp, zero, d2)
+    d3 = xp.where(isimp, zero, d3)
+    d4 = xp.where(isimp, zero, d4)
+    t3cof = xp.where(isimp, zero, t3cof)
+    t4cof = xp.where(isimp, zero, t4cof)
+    t5cof = xp.where(isimp, zero, t5cof)
 
-    error = jnp.zeros(jnp.shape(no_unkozai), jnp.int32)
-    error = jnp.where((ecco >= 1.0) | (ecco < -0.001), 1, error)
-    error = jnp.where(no_kozai <= 0.0, 2, error)
+    error = xp.zeros(xp.shape(no_unkozai), xp.int32)
+    error = xp.where((ecco >= 1.0) | (ecco < -0.001), xp.int32(1), error)
+    error = xp.where(no_kozai <= 0.0, xp.int32(2), error)
 
     return Sgp4Elements(
         no_kozai=no_kozai, no_unkozai=no_unkozai, ecco=ecco, inclo=inclo,
@@ -265,6 +259,38 @@ def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
         aycof=aycof, xlcof=xlcof, con41=con41, x1mth2=x1mth2,
         x7thm1=x7thm1, isimp=isimp, is_deep=is_deep, error=error,
     )
+
+
+@partial(jax.jit, static_argnames=("grav",))
+def sgp4_init(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo, argpo,
+              mo, bstar, epoch_jd) -> Sgp4Elements:
+    """Precompute SGP4 coefficients for one or many satellites.
+
+    All arguments broadcast elementwise; pass full-catalog arrays to get
+    a vectorized init (the analogue of the reference's per-satellite
+    ``initElements`` loop + SoA transpose, Sgp4.zig:108-417 /
+    Sgp4Batch.zig:78-110, fused into one XLA program). Jitted: on a
+    remote TPU backend an unjitted init pays one network round trip per
+    elementwise op — ~400 s for a full catalog vs ~1 s compiled.
+    """
+    return _sgp4_init_core(
+        jnp, grav, no_kozai=no_kozai, ecco=ecco, inclo=inclo, nodeo=nodeo,
+        argpo=argpo, mo=mo, bstar=bstar, epoch_jd=epoch_jd)
+
+
+def sgp4_init_np(grav: GravityModel, *, no_kozai, ecco, inclo, nodeo,
+                 argpo, mo, bstar, epoch_jd) -> Sgp4Elements:
+    """Numpy-executed init: identical formulas, zero XLA compilation.
+
+    The host ingest path (propagation.build_catalog) uses this — a full
+    13k-satellite catalog inits in ~30 ms of numpy versus ~3.4 s of
+    one-shot XLA compile per process for the jitted form. Returns an
+    :class:`Sgp4Elements` whose leaves are numpy arrays (device_put by
+    the catalog layer in a few packed transfers)."""
+    import numpy as np
+    return _sgp4_init_core(
+        np, grav, no_kozai=no_kozai, ecco=ecco, inclo=inclo, nodeo=nodeo,
+        argpo=argpo, mo=mo, bstar=bstar, epoch_jd=epoch_jd)
 
 
 def solve_kepler(u, axnl, aynl, iters: int = 10):

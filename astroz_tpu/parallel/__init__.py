@@ -9,7 +9,9 @@ ring all-gather only where screening needs all-vs-all positions.
 """
 
 from .mesh import (make_mesh, pad_catalog, propagate_sharded,
-                   propagate_sharded_fast, shard_catalog)
+                   propagate_sharded_fast, shard_catalog,
+                   stage_sharded_fast)
 
 __all__ = ["make_mesh", "pad_catalog", "shard_catalog",
-           "propagate_sharded", "propagate_sharded_fast"]
+           "propagate_sharded", "propagate_sharded_fast",
+           "stage_sharded_fast"]

@@ -45,8 +45,13 @@ from .ops.sdp4 import (DeepElements, ResonanceCarry, fresh_carry, sdp4_init,
 
 #: Output frame names (reference: Constellation.zig OutputMode)
 OUTPUT_MODES = ("teme", "ecef", "geodetic", "geodetic_deg")
-#: Output layout names (reference: Constellation.zig Layout)
-LAYOUTS = ("time_major", "sat_major")
+#: Output layout names. ``time_major``/``sat_major`` mirror the
+#: reference's write-time layout choice (Constellation.zig:46-51);
+#: ``planes`` returns component planes stacked on the MAJOR axis —
+#: r shaped (3, n_times, n_sats) — the kernels' native output layout,
+#: skipping the minor-dim-3 relayout entirely (the analogue of the
+#: reference's into-buffer stride control, satrec.zig:896-988).
+LAYOUTS = ("time_major", "sat_major", "planes")
 
 
 @dataclass(frozen=True)
@@ -151,8 +156,13 @@ class SatCatalog:
         return 5 if max_ecc < 0.3 else 8
 
 
+import sys
+import time as _time
+
+
 def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
-                  grav: GravityModel = WGS72) -> SatCatalog:
+                  grav: GravityModel = WGS72,
+                  verbose: bool = False) -> SatCatalog:
     """Parse + initialize a catalog in one vectorized pass.
 
     ``source`` may be raw TLE/3LE text, a sequence of parsed
@@ -161,8 +171,11 @@ def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
     per-satellite ``initElements`` loop + classify-and-split
     (Constellation.zig:115-184), init runs as one XLA program over the
     whole catalog and deep-space satellites stay in place.
+    ``verbose`` prints a parse/init/partition/transfer phase breakdown
+    to stderr.
     """
     names: Optional[Tuple[Optional[str], ...]] = None
+    t_start = _time.perf_counter()
     if isinstance(source, TleArrays):
         arrays = source
     else:
@@ -192,59 +205,96 @@ def build_catalog(source: Union[str, Sequence[Tle], TleArrays],
             names = tuple(t.name for t in tles)
             arrays = TleArrays.from_tles(tles)
 
-    # Init runs on the host CPU backend: it is one-shot O(n_sats) math
-    # (microseconds), while compiling it for a remote TPU costs minutes
-    # of compile-service latency. The finished catalog is device_put to
-    # the default backend once (catalog_from_elements).
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        els = sgp4_init(
-            grav,
-            no_kozai=arrays.no_kozai, ecco=arrays.ecco, inclo=arrays.inclo,
-            nodeo=arrays.nodeo, argpo=arrays.argpo, mo=arrays.mo,
-            bstar=arrays.bstar, epoch_jd=arrays.epoch_jd)
-    return catalog_from_elements(els, grav, np.asarray(arrays.satnum),
-                                 names=names)
+    t_parse = _time.perf_counter()
+    # Init runs in PURE NUMPY on the host: one-shot O(n_sats)
+    # elementwise math (~30 ms for 13k sats) with zero XLA compilation —
+    # the jitted form costs ~3.4 s of one-shot CPU compile per process,
+    # and compiling it for a remote TPU costs minutes of compile-service
+    # latency. The finished catalog is device_put to the default backend
+    # once (catalog_from_elements).
+    from .ops.sgp4 import sgp4_init_np
+    els = sgp4_init_np(
+        grav,
+        no_kozai=np.asarray(arrays.no_kozai, np.float64),
+        ecco=np.asarray(arrays.ecco, np.float64),
+        inclo=np.asarray(arrays.inclo, np.float64),
+        nodeo=np.asarray(arrays.nodeo, np.float64),
+        argpo=np.asarray(arrays.argpo, np.float64),
+        mo=np.asarray(arrays.mo, np.float64),
+        bstar=np.asarray(arrays.bstar, np.float64),
+        epoch_jd=np.asarray(arrays.epoch_jd, np.float64))
+    cat = catalog_from_elements(els, grav, np.asarray(arrays.satnum),
+                                names=names, verbose=verbose,
+                                _t_parse=(t_parse - t_start))
+    if verbose:
+        print(f"# ingest total: {_time.perf_counter() - t_start:.2f}s",
+              file=sys.stderr)
+    return cat
 
 
 def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
                           satnum: Optional[np.ndarray] = None,
-                          names: Optional[Tuple[Optional[str], ...]] = None
+                          names: Optional[Tuple[Optional[str], ...]] = None,
+                          verbose: bool = False,
+                          _t_parse: Optional[float] = None
                           ) -> SatCatalog:
     """Finish catalog construction from initialized SGP4 elements:
     deep-space init + static deep-lane partition for the fast path.
 
-    All init math runs on the host CPU backend (one-shot O(n_sats)
-    work; compiling it for a remote TPU costs minutes of
-    compile-service latency), then the finished pytrees are device_put
-    to the default backend once so the hot propagate paths never pay
-    host->device transfers per call."""
-    cpu0 = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu0):
-        els = jax.device_put(els, cpu0)
-        any_deep = bool(np.asarray(els.is_deep).any())
-        deep = sdp4_init(grav, els) if any_deep else None
-        if satnum is None:
-            satnum = np.arange(len(np.asarray(els.no_kozai)),
-                               dtype=np.int64)
+    All init math runs in pure numpy on the host (see
+    ops.sgp4.sgp4_init_np — zero XLA compilation on the ingest path;
+    jax-array inputs are pulled to host first), then the finished
+    pytrees are device_put to the default backend in a few packed
+    transfers so the hot propagate paths never pay host->device
+    transfers per call."""
+    t0 = _time.perf_counter()
+    from .ops.sdp4 import sdp4_init_np
 
-        deep_idx = els_deep = deep_sub = None
-        if any_deep:
-            deep_idx = np.nonzero(np.asarray(els.is_deep))[0]
-            idx = jnp.asarray(deep_idx)
+    els = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "ndim") else x, els)
+    any_deep = bool(els.is_deep.any())
+    deep = sdp4_init_np(grav, els) if any_deep else None
+    if satnum is None:
+        satnum = np.arange(len(els.no_kozai), dtype=np.int64)
+    t1 = _time.perf_counter()
 
-            def take(x):
-                return x[idx] if getattr(x, "ndim", 0) else x
+    # deep-lane partition in numpy: O(n) host gathers, no device round
+    # trips, no per-leaf eager programs
+    deep_idx = els_deep = deep_sub = None
+    if any_deep:
+        els_h = els
+        deep_h = deep
+        deep_idx = np.nonzero(els_h.is_deep)[0]
 
-            els_deep = jax.tree_util.tree_map(take, els)
-            deep_sub = jax.tree_util.tree_map(take, deep)
+        def take(x):
+            return x[deep_idx] if getattr(x, "ndim", 0) else x
+
+        els_deep = jax.tree_util.tree_map(take, els_h)
+        deep_sub = jax.tree_util.tree_map(take, deep_h)
+    t2 = _time.perf_counter()
 
     default = jax.devices()[0]
-    if default != cpu0:
-        els, deep, els_deep, deep_sub = _device_put_packed(
-            (els, deep, els_deep, deep_sub), default)
+    els, deep, els_deep, deep_sub = _device_put_packed(
+        (els, deep, els_deep, deep_sub), default)
+    jax.block_until_ready((els, deep, els_deep, deep_sub))
+    t3 = _time.perf_counter()
+    if verbose:
+        parse = f"parse {_t_parse:.2f}s  " if _t_parse is not None else ""
+        print(f"# ingest: {parse}init {t1 - t0:.2f}s  "
+              f"partition {t2 - t1:.2f}s  transfer {t3 - t2:.2f}s",
+              file=sys.stderr)
     return SatCatalog(els=els, deep=deep, grav=grav, satnum=satnum,
                       names=names, deep_idx=deep_idx, els_deep=els_deep,
                       deep_sub=deep_sub)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _unpack(pack, n: int):
+    """Split a stacked pack into its n rows in ONE program. Eager
+    ``pack[k]`` slices compile one tiny program per distinct k — ~180
+    remote compile-service round trips per catalog through the TPU
+    tunnel (seconds); this is one compile per pack shape."""
+    return tuple(pack[i] for i in range(n))
 
 
 def _device_put_packed(tree, device):
@@ -254,8 +304,15 @@ def _device_put_packed(tree, device):
     — measured up to ~4 s/leaf through a degraded remote-TPU tunnel
     (351 s for a catalog's 87 element arrays). Stacking same-shape/dtype
     leaves on the host into one array per group turns that into ~3
-    transfers + cheap on-device slicing.
+    transfers + one on-device unpack program per group.
+
+    Host-CPU targets skip the packing: local device_put is ~free there
+    and the unpack program would cost a pointless ~1 s jit compile.
     """
+    if device.platform == "cpu":
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(np.asarray(a), device)
+            if hasattr(a, "ndim") else a, tree)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     groups = {}
     for i, leaf in enumerate(leaves):
@@ -268,8 +325,9 @@ def _device_put_packed(tree, device):
             out[i] = jax.device_put(arr, device)
             continue
         pack = jax.device_put(np.stack([a for _, a in members]), device)
+        parts = _unpack(pack, len(members))
         for k, (i, _) in enumerate(members):
-            out[i] = pack[k]
+            out[i] = parts[k]
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
@@ -299,6 +357,52 @@ def _finalize(r, v, err, jd_sum, output: str, want_vel: bool):
     return (r, v, err) if want_vel else (r, None, err)
 
 
+def _finalize_planes(planes, n_times, n_sats, jd_sum, output: str,
+                     want_vel: bool, layout: str):
+    """Frame conversion + layout assembly on raw component planes.
+
+    ``planes`` is the kernel output list — (x, y, z[, vx, vy, vz], err),
+    each (>=n_times, >=n_sats) (Pallas planes carry tile padding; the
+    trim fuses into the final stack/transpose). The frame rotation runs
+    per-plane, so no minor-dim-3 array exists until the very last stack
+    — and with ``layout="planes"`` never: r comes back (3, T, S), the
+    planes' own layout (major-axis stack = contiguous concat, no
+    relayout). ``sat_major`` transposes each (T, S) plane — a tiled 2-D
+    transpose, cheaper than relaying out a minor-dim-3 array.
+    """
+    ps = [p[:n_times, :n_sats] for p in planes]
+    err = ps[-1]
+    x, y, z = ps[0:3]
+    vpl = ps[3:6] if want_vel else None
+    if output != "teme":
+        gmst = gstime(jd_sum).astype(x.dtype)  # jd_sum is (T, 1)
+        sg, cg = jnp.sin(gmst), jnp.cos(gmst)
+        x, y = cg * x + sg * y, -sg * x + cg * y
+        if want_vel:
+            vx, vy, vz = vpl
+            vpl = [cg * vx + sg * vy, -sg * vx + cg * vy, vz]
+        if output in ("geodetic", "geodetic_deg"):
+            from .frames import ecef_to_geodetic_xyz
+            lat, lon, alt = ecef_to_geodetic_xyz(x, y, z)
+            if output == "geodetic_deg":
+                from .constants import RAD2DEG
+                lat, lon = lat * RAD2DEG, lon * RAD2DEG
+            x, y, z = lat, lon, alt
+    rpl = [x, y, z]
+    if layout == "planes":
+        r = jnp.stack(rpl, axis=0)
+        v = jnp.stack(vpl, axis=0) if want_vel else None
+        return r, v, err
+    if layout == "sat_major":
+        rpl = [p.T for p in rpl]
+        if want_vel:
+            vpl = [p.T for p in vpl]
+        err = err.T
+    r = jnp.stack(rpl, axis=-1)
+    v = jnp.stack(vpl, axis=-1) if want_vel else None
+    return r, v, err
+
+
 @partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
 def _propagate_shallow(els: Sgp4Elements, tsince, jd_sum, grav: GravityModel,
                        output: str, want_vel: bool):
@@ -313,17 +417,24 @@ def _propagate_mixed(els: Sgp4Elements, deep: DeepElements, tsince, jd_sum,
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
-def _shallow_engine(els, t_time, t_sat, grav, kepler_iters, engine):
-    """Run the shallow fast kernel on the chosen engine: the fused
-    Pallas kernel on TPU ('pallas') or the XLA elementwise graph.
-    The time grid is separable: tsince = t_time[:, None] - t_sat."""
+def _shallow_planes(els, t_time, t_sat, grav, kepler_iters, engine,
+                    want_vel: bool):
+    """Run the shallow fast kernel on the chosen engine, returning raw
+    component planes ``(x, y, z[, vx, vy, vz], err)``: the fused Pallas
+    kernel on TPU ('pallas', planes carry tile padding) or the XLA
+    elementwise graph (exact shapes). The time grid is separable:
+    tsince = t_time[:, None] - t_sat."""
     if engine == "pallas":
         from .ops.pallas_sgp4 import propagate_fast_pallas_sep
         return propagate_fast_pallas_sep(els, t_time, t_sat, grav,
-                                         kepler_iters=kepler_iters)
+                                         kepler_iters=kepler_iters,
+                                         planes=True, want_vel=want_vel)
+    from .ops.fast import _shallow_f32_fields, shallow_tail_f32, spine_f64
     tsince = t_time[:, None] - t_sat[None, :]
-    return propagate_fast(els, None, tsince, grav,
-                          kepler_iters=kepler_iters)
+    spine = spine_f64(els, tsince)
+    return shallow_tail_f32(grav, kepler_iters, *spine,
+                            want_vel=want_vel,
+                            **_shallow_f32_fields(els))
 
 
 def default_engine() -> str:
@@ -337,18 +448,20 @@ def default_engine() -> str:
 
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
-                          "engine"))
+                          "engine", "layout"))
 def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
                             grav: GravityModel, output: str, want_vel: bool,
-                            kepler_iters: int = 8, engine: str = "xla"):
-    r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
-                                engine)
-    return _finalize(r, v, err, jd_sum, output, want_vel)
+                            kepler_iters: int = 8, engine: str = "xla",
+                            layout: str = "time_major"):
+    planes = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
+                             engine, want_vel)
+    return _finalize_planes(planes, t_time.shape[0], t_sat.shape[0],
+                            jd_sum, output, want_vel, layout)
 
 
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
-                          "engine", "resonance_steps"))
+                          "engine", "resonance_steps", "layout"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 deep_sub: DeepElements, deep_mask,
                                 deep_inv, t_time,
@@ -356,7 +469,8 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 grav: GravityModel,
                                 output: str, want_vel: bool,
                                 kepler_iters: int = 8, engine: str = "xla",
-                                resonance_steps=None):
+                                resonance_steps=None,
+                                layout: str = "time_major"):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the (static) deep subset, merged
     into the full grid by a per-satellite expansion map
@@ -365,44 +479,39 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
     The select-merge replaced an index scatter: on TPU the lane-dim
     scatter forced materialization boundaries that cost ~3 ms, while
     the gather+select fuses into the final stack (13.0 -> 10.0 ms
-    end-to-end on the 13478x1440 grid). On the Pallas engine the merge
-    runs on the raw per-component (time, sat) kernel output planes
-    BEFORE stacking to ``(..., 3)`` — stacking first forces XLA to
-    materialize the minor-dim-3 layout and pay relayout copies per
-    plane (measured +17.6 ms)."""
+    end-to-end on the 13478x1440 grid). The merge always runs on raw
+    per-component (time, sat) kernel output planes BEFORE any stacking
+    to ``(..., 3)`` — stacking first forces XLA to materialize the
+    minor-dim-3 layout and pay relayout copies per plane (measured
+    +17.6 ms); with ``layout="planes"`` the minor-dim-3 array never
+    exists at all."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
     n_times = t_time.shape[0]
     n_sats = t_sat.shape[0]
     n_deep = t_sat_deep.shape[0]
+    n_pl = 7 if want_vel else 4
     if engine == "pallas":
-        from .ops.pallas_sgp4 import (propagate_deep_pallas,
-                                      propagate_fast_pallas_sep)
+        from .ops.pallas_sgp4 import propagate_deep_pallas
         # deep subset through its own fused kernel (f64 spine +
         # resonance tables in XLA, f32 tail in Pallas)
         d_planes = propagate_deep_pallas(
             els_deep, deep_sub, tsince_deep, grav,
-            resonance_steps=resonance_steps, planes=True)
-        planes = list(propagate_fast_pallas_sep(
-            els, t_time, t_sat, grav, kepler_iters=kepler_iters,
-            planes=True))
-        for c in range(7):
-            dsel = d_planes[c][:n_times, :n_deep][:, deep_inv]
-            planes[c] = jnp.where(deep_mask[None, :], dsel,
-                                  planes[c][:n_times, :n_sats])
-        r = jnp.stack(planes[0:3], axis=-1)
-        v = jnp.stack(planes[3:6], axis=-1)
-        err = planes[6]
+            resonance_steps=resonance_steps, planes=True,
+            want_vel=want_vel)
     else:
-        r_d, v_d, err_d = propagate_fast(els_deep, deep_sub, tsince_deep,
-                                         grav,
-                                         resonance_steps=resonance_steps)
-        r, v, err = _shallow_engine(els, t_time, t_sat, grav, kepler_iters,
-                                    engine)
-        m3 = deep_mask[None, :, None]
-        r = jnp.where(m3, r_d[:, deep_inv, :], r)
-        v = jnp.where(m3, v_d[:, deep_inv, :], v)
-        err = jnp.where(deep_mask[None, :], err_d[:, deep_inv], err)
-    return _finalize(r, v, err, jd_sum, output, want_vel)
+        from .ops.fast import deep_f32_fields, deep_spine_f64, deep_tail_f32
+        spine = deep_spine_f64(els_deep, deep_sub, tsince_deep,
+                               resonance_steps)
+        d_planes = deep_tail_f32(grav, 8, *spine, want_vel=want_vel,
+                                 **deep_f32_fields(els_deep, deep_sub))
+    planes = list(_shallow_planes(els, t_time, t_sat, grav, kepler_iters,
+                                  engine, want_vel))
+    for c in range(n_pl):
+        dsel = d_planes[c][:n_times, :n_deep][:, deep_inv]
+        planes[c] = jnp.where(deep_mask[None, :], dsel,
+                              planes[c][:n_times, :n_sats])
+    return _finalize_planes(planes, n_times, n_sats, jd_sum, output,
+                            want_vel, layout)
 
 
 @partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
@@ -439,10 +548,18 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         to zeros. Scalars or 1-D arrays of equal length.
       output: ``"teme"`` (km/km/s), ``"ecef"`` (GMST-rotated), or
         ``"geodetic"`` (lat rad, lon rad, alt km; velocities stay ECEF).
-      velocities: skip velocity output when False (the reference's
-        ``velocities=False`` fast path, api.py:23).
-      layout: ``"time_major"`` -> (n_times, n_sats, 3) or ``"sat_major"``
-        -> (n_sats, n_times, 3) (reference: Constellation.zig Layout).
+      velocities: skip velocity output when False — with the fast
+        method the Pallas kernels drop to 4 output planes and never
+        compute the velocity terms (the reference's ``velocities=False``
+        fast path, api.py:23 / README.md:116).
+      layout: ``"time_major"`` -> (n_times, n_sats, 3), ``"sat_major"``
+        -> (n_sats, n_times, 3) (reference: Constellation.zig Layout),
+        or ``"planes"`` -> (3, n_times, n_sats) — the kernels' native
+        component-plane layout, zero minor-dim-3 relayout (fastest;
+        the analogue of the reference's into-buffer stride control,
+        satrec.zig:896-988). With the fast method, ``sat_major`` and
+        ``planes`` are written directly by the fused program, not
+        transposed after the fact.
       scan_times: thread the SDP4 resonance carry along a sorted time
         axis via ``lax.scan`` (use for long monotone grids with many
         deep-space satellites; ``method="f64"`` only).
@@ -486,7 +603,7 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         if not cat.has_deep:
             r, v, err = _propagate_fast_shallow(
                 cat.els, t_time, t_sat, jd_sum, cat.grav, output,
-                velocities, cat.kepler_iters, engine)
+                velocities, cat.kepler_iters, engine, layout)
         else:
             # static resonance TABLE depth from the host-known horizon
             # (vs the DEEP satellites' own epochs — resonance integrates
@@ -505,7 +622,7 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                 cat.els, cat.els_deep, cat.deep_sub,
                 deep_mask, deep_inv, t_time, t_sat, t_sat_deep,
                 jd_sum, cat.grav, output, velocities, cat.kepler_iters,
-                engine, steps)
+                engine, steps, layout)
     else:
         # minutes since each satellite's epoch — computed with the
         # jd/fr split so the subtraction happens at epoch-difference
@@ -527,19 +644,28 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
             r, v, err = _propagate_mixed(cat.els, cat.deep, tsince,
                                          jd_sum, cat.grav, output,
                                          velocities)
+        # f64 paths produce time-major stacked output; derive the other
+        # layouts post-hoc (the fast path writes them directly)
+        if layout == "sat_major":
+            r = jnp.swapaxes(r, 0, 1)
+            if v is not None:
+                v = jnp.swapaxes(v, 0, 1)
+            err = jnp.swapaxes(err, 0, 1)
+        elif layout == "planes":
+            r = jnp.moveaxis(r, -1, 0)
+            if v is not None:
+                v = jnp.moveaxis(v, -1, 0)
 
     if satellite_mask is not None:
-        m = jnp.asarray(satellite_mask, bool)[None, :]
-        r = jnp.where(m[..., None], r, 0.0)
+        m = jnp.asarray(satellite_mask, bool)
+        # broadcast shapes per layout: the sat axis is axis 1 of err for
+        # time_major/planes, axis 0 for sat_major
+        me = m[:, None] if layout == "sat_major" else m[None, :]
+        mr = m[None, None, :] if layout == "planes" else me[..., None]
+        r = jnp.where(mr, r, 0.0)
         if v is not None:
-            v = jnp.where(m[..., None], v, 0.0)
-        err = jnp.where(m, err, -1)
-
-    if layout == "sat_major":
-        r = jnp.swapaxes(r, 0, 1)
-        if v is not None:
-            v = jnp.swapaxes(v, 0, 1)
-        err = jnp.swapaxes(err, 0, 1)
+            v = jnp.where(mr, v, 0.0)
+        err = jnp.where(me, err, -1)
     return r, v, err
 
 

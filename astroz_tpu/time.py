@@ -156,19 +156,20 @@ def iso8601_to_jd(s: str) -> Tuple[float, float]:
 # ---------------------------------------------------------------------------
 
 
-def gstime(jdut1):
+def gstime(jdut1, xp=jnp):
     """Greenwich mean sidereal time in radians (IAU-82 polynomial).
 
     Works elementwise on jnp arrays so it can be fused into kernels
-    (reference: Sdp4.zig:277-285, WorldCoordinateSystem.zig:146-154).
+    (reference: Sdp4.zig:277-285, WorldCoordinateSystem.zig:146-154);
+    pass ``xp=numpy`` for the host ingest path.
     """
     tut1 = (jdut1 - 2451545.0) / 36525.0
     temp = (-6.2e-6 * tut1 * tut1 * tut1
             + 0.093104 * tut1 * tut1
             + (876600.0 * 3600.0 + 8640184.812866) * tut1
             + 67310.54841)
-    temp = jnp.remainder(temp * DEG2RAD / 240.0, TWO_PI)
-    return jnp.where(temp < 0.0, temp + TWO_PI, temp)
+    temp = xp.remainder(temp * DEG2RAD / 240.0, TWO_PI)
+    return xp.where(temp < 0.0, temp + TWO_PI, temp)
 
 
 def gstime_scalar(jdut1: float) -> float:

@@ -70,6 +70,55 @@ def synthetic_catalog(n: int):
     return cat
 
 
+def main_mesh():
+    """Multi-chip headline bench: the SAME scenario through
+    ``stage_sharded_fast`` over a mesh of ALL local devices (graceful on
+    one). This is the v5e-8 north-star harness (BASELINE.md: >= 3B
+    props/s on 8 chips): each chip owns a satellite shard, runs the
+    fused planes program shard-resident, zero collectives — run it on a
+    pod slice the day one is attached. Prints the same one-line JSON
+    with metric suffix "_mesh<N>"."""
+    import jax
+
+    import astroz_tpu  # noqa: F401  (enables x64)
+    from astroz_tpu.parallel import make_mesh, stage_sharded_fast
+
+    devices = jax.devices()
+    mesh = make_mesh(devices, time_parallel=1)
+    cat = synthetic_catalog(N_SATS)
+    jd = 2460310.5 + np.arange(N_TIMES, dtype=np.float64) / 1440.0
+
+    fn, args, _ = stage_sharded_fast(cat, jd, mesh=mesh, output="teme",
+                                     layout="planes")
+
+    def fetch(outs):
+        np.asarray(jax.device_get(outs[-1][0][:1, :1, :1]))
+
+    fetch([fn(*args)])  # warmup / compile
+
+    def run_reps(k):
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(k):
+            last = fn(*args)
+        fetch([last])
+        return time.perf_counter() - t0
+
+    t_small = run_reps(2)
+    t_big = run_reps(6)
+    elapsed = (t_big - t_small) / 4
+    if elapsed <= 0:
+        elapsed = t_big / 6
+
+    props_per_s = N_SATS * N_TIMES / elapsed
+    print(json.dumps({
+        "metric": f"constellation_13478x1440_props_per_s_mesh{len(devices)}",
+        "value": round(props_per_s, 1),
+        "unit": "props/s",
+        "vs_baseline": round(props_per_s / BASELINE_PROPS_PER_S, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -93,15 +142,20 @@ def main():
     chunks = [(jax.device_put(jnp.asarray(ts_rep)),
                jax.device_put(jnp.asarray(js_rep)))]
 
+    # planes layout: the kernels' native (3, T, N) component-plane
+    # output — no minor-dim-3 stack relayout (the reference likewise
+    # lets callers pick the write-time layout / output buffers,
+    # Constellation.zig:46-51, satrec.zig:896-988)
     def run_chunk(ts, js):
         if cat.deep is None:
             return _propagate_fast_shallow(cat.els, ts, t_sat, js,
                                            cat.grav, "teme", True,
-                                           cat.kepler_iters, engine)
+                                           cat.kepler_iters, engine,
+                                           "planes")
         return _propagate_fast_partitioned(
             cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
             ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
-            cat.kepler_iters, engine, 4)
+            cat.kepler_iters, engine, 4, "planes")
 
     def fetch(outs):
         # force real completion: on tunnel-attached dev chips
@@ -149,9 +203,10 @@ def main_with_retry(attempts: int = 3):
     """The dev-chip tunnel intermittently aborts (FAILED_PRECONDITION /
     ABORTED) and recovers within a minute or two — retry so one flake
     doesn't lose the benchmark record."""
+    fn = main_mesh if "--mesh" in sys.argv[1:] else main
     for k in range(attempts):
         try:
-            return main()
+            return fn()
         except Exception as exc:  # noqa: BLE001 - tunnel errors vary
             if k == attempts - 1:
                 raise

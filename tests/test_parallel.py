@@ -86,3 +86,46 @@ def test_shard_map_fast_pure_leo(cat):
     # same kernel; XLA fuses differently per shard shape, so
     # expect f32-rounding-order differences only
     assert dr.max() < 0.005
+
+
+def test_sharded_layouts_and_novel(cat):
+    """layout / velocities=False contracts through the sharded fast
+    path (the multi-chip bench mode runs layout='planes')."""
+    from astroz_tpu.parallel import propagate_sharded_fast
+    mesh = make_mesh()
+    epoch = cat.epochs_jd[0]
+    jd = epoch + np.linspace(0.0, 1.0, 7)
+    r, v, e = propagate_sharded_fast(cat, jd, mesh=mesh, engine="xla")
+    rp, vp, ep = propagate_sharded_fast(cat, jd, mesh=mesh, engine="xla",
+                                        layout="planes")
+    assert rp.shape == (3, 7, len(cat))
+    np.testing.assert_allclose(np.asarray(rp),
+                               np.moveaxis(np.asarray(r), -1, 0),
+                               rtol=0, atol=1e-9)
+    rs, vs, es = propagate_sharded_fast(cat, jd, mesh=mesh, engine="xla",
+                                        layout="sat_major")
+    assert rs.shape == (len(cat), 7, 3)
+    np.testing.assert_allclose(np.asarray(rs),
+                               np.swapaxes(np.asarray(r), 0, 1),
+                               rtol=0, atol=1e-9)
+    r0, v0, e0 = propagate_sharded_fast(cat, jd, mesh=mesh, engine="xla",
+                                        velocities=False)
+    assert v0 is None
+    np.testing.assert_array_equal(np.asarray(r0), np.asarray(r))
+
+
+def test_bench_mesh_smoke(monkeypatch, capsys):
+    """bench.py --mesh executes end-to-end on the 8-device virtual mesh
+    (VERDICT r2 #3: the v5e-8 north-star harness must be one flag away)."""
+    import json
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import bench
+
+    monkeypatch.setattr(bench, "N_SATS", 512)
+    monkeypatch.setattr(bench, "N_TIMES", 32)
+    bench.main_mesh()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["metric"] == "constellation_13478x1440_props_per_s_mesh8"
+    assert rec["value"] > 0
