@@ -59,8 +59,35 @@ class Satrec:
         self._tle: Optional[_tle.Tle] = None
         self._scalar = None
         self._scalar_native = None
+        self._core = None
+        self._init_err = 0
         self.error = 0
         self.t = 0.0
+
+    # ``t``/``error`` live on the native SatCore once it exists (the
+    # all-C call path writes them there); properties keep the
+    # python-sgp4 attribute contract either way.
+    @property
+    def t(self) -> float:
+        return self._core.t if self._core is not None else self._t
+
+    @t.setter
+    def t(self, value: float):
+        if self._core is not None:
+            self._core.t = value
+        else:
+            self._t = value
+
+    @property
+    def error(self) -> int:
+        return self._core.error if self._core is not None else self._error
+
+    @error.setter
+    def error(self, value: int):
+        if self._core is not None:
+            self._core.error = value
+        else:
+            self._error = value
 
     # ---- construction ----------------------------------------------------
 
@@ -71,7 +98,7 @@ class Satrec:
         grav = _resolve_grav(whichconst)
         self._tle = _tle.parse_lines(line1, line2)
         self._cat = build_catalog([self._tle], grav=grav)
-        self.error = int(self._cat.init_errors[0])
+        self._init_err = self.error = int(self._cat.init_errors[0])
         return self
 
     def sgp4init(self, whichconst, opsmode: str, satnum: int, epoch: float,
@@ -97,7 +124,7 @@ class Satrec:
                         epoch_jd=np.asarray([epoch_jd]))
         self._cat = catalog_from_elements(
             els, grav, satnum=np.asarray([satnum], dtype=np.int64))
-        self.error = int(self._cat.init_errors[0])
+        self._init_err = self.error = int(self._cat.init_errors[0])
         return self
 
     # ---- propagation ------------------------------------------------------
@@ -119,10 +146,23 @@ class Satrec:
                 float(els.ecco[0]), float(els.argpo[0]),
                 float(els.inclo[0]), float(els.mo[0]),
                 float(els.no_kozai[0]), float(els.nodeo[0]))
-            # native C++ propagator (~1 us/call vs ~20 us pure-Python;
+            # native C++ propagator (sub-us/call vs ~20 us pure-Python;
             # exact-parity-tested) — None when no compiler is available
             from . import native
             self._scalar_native = native.scalar_engine(self._scalar)
+            core = native.sat_core(self._scalar, self.jdsatepoch,
+                                   self.jdsatepochF)
+            if core is not None:
+                # rebind sgp4/sgp4_tsince to the all-C fast path: the
+                # instance attribute shadows the Python method, so loop
+                # calls never enter a Python frame (the TPU-repo shape
+                # of the reference's 2.5M props/s compiled scalar loop,
+                # satrec.zig:169-201). t/error migrate into the core
+                # (see the properties above).
+                core.t, core.error = self._t, self._error
+                self._core = core
+                self.sgp4 = core.sgp4
+                self.sgp4_tsince = core.sgp4_tsince
         return self._scalar
 
     def sgp4(self, jd: float, fr: float
@@ -131,7 +171,7 @@ class Satrec:
         """Propagate to jd+fr. Returns (error, r_teme_km, v_teme_km_s)."""
         self.t = ((jd - self.jdsatepoch) + (fr - self.jdsatepochF)) \
             * MINUTES_PER_DAY
-        init_err = int(self._cat.init_errors[0])
+        init_err = self._init_err
         if init_err:
             # init-time failure: match the batch path's zero-fill
             self.error = init_err

@@ -40,16 +40,22 @@ def _build() -> bool:
                         os.path.getmtime(_SRC3))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-               _SRC, _SRC2, _SRC3, "-o", _SO]
+        # -fno-math-errno: no errno bookkeeping around sqrt/sin/cos ->
+        # inline sqrtsd + fused sincos calls (results unchanged, the
+        # parity fuzz gates stay exact); -march=native is safe because
+        # the .so is a per-machine build artifact (gitignored)
+        flags = ["-O3", "-march=native", "-fno-math-errno", "-shared",
+                 "-fPIC"]
+        cmd = ["g++", *flags, "-std=c++17", _SRC, _SRC2, _SRC3,
+               "-o", _SO]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         # the CPython extension for the per-call scalar path (optional:
         # ctypes remains the fallback if Python.h is unavailable)
         try:
             import sysconfig
             inc = sysconfig.get_paths()["include"]
-            cmd = ["g++", "-O2", "-shared", "-fPIC", f"-I{inc}",
-                   _SRC_EXT, _SRC3, "-o", _EXT_SO]
+            cmd = ["g++", *flags, f"-I{inc}", _SRC_EXT, _SRC3,
+                   "-o", _EXT_SO]
             subprocess.run(cmd, check=True, capture_output=True,
                            timeout=120)
         except Exception:
@@ -270,3 +276,21 @@ def scalar_engine(sat) -> Optional[ScalarEngine]:
     if vec is None:
         return None
     return ScalarEngine(vec)
+
+
+def sat_core(sat, jdsatepoch: float, jdsatepochF: float):
+    """Build a `_astroz_scalar.SatCore` — the all-C per-call propagator
+    (tsince computation + propagate + result tuple in one C round trip;
+    reference: satrec.zig:169-201). Returns None when the CPython
+    extension is unavailable (ctypes ScalarEngine is the fallback).
+    The core COPIES the element vector, so nothing needs keeping alive.
+    """
+    ext = _get_ext()
+    if ext is None or not hasattr(ext, "SatCore"):
+        return None
+    vec = pack_scalar_sat(sat)
+    if vec is None:
+        return None
+    vec = np.ascontiguousarray(vec)
+    return ext.SatCore(vec.ctypes.data, vec.shape[0],
+                       float(jdsatepoch), float(jdsatepochF))

@@ -1,9 +1,15 @@
 /* Minimal CPython extension for the native scalar propagator: the
  * per-call path (api.Satrec.sgp4 in a loop) is overhead-bound — ctypes
  * costs ~3.7 us/call in marshalling while the propagation itself is
- * ~0.3 us. This module builds the (e, (x,y,z), (vx,vy,vz)) result
- * tuples in C (reference: the hand-rolled CPython layer serving its
- * 2.5M props/s scalar loop, bindings/python/src/satrec.zig:169-201).
+ * sub-microsecond. This module keeps the WHOLE per-call path in C
+ * (reference: the hand-rolled CPython layer serving its 2.5M props/s
+ * scalar loop, bindings/python/src/satrec.zig:169-201):
+ *
+ *   SatCore — owns a copy of the packed element vector plus the epoch
+ *   split; sgp4(jd, fr) computes tsince, propagates, stores t/error on
+ *   the C struct, and hand-builds the (e, (x,y,z), (vx,vy,vz)) result
+ *   (no Py_BuildValue format parsing). api.Satrec binds the core's
+ *   sgp4 as an instance attribute, so loop calls never enter Python.
  *
  * Compiled alongside libastroz_native.so by native/_build (plain
  * Python.h, no pybind11/setuptools).
@@ -12,16 +18,135 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
 #ifdef __cplusplus
 extern "C"
 #endif
 int astroz_scalar_sgp4(const double* s, double tsince, double* out6);
+
+#define SATCORE_NFIELDS 92 /* must cover native.SCALAR_FIELDS (checked) */
+
+typedef struct {
+  PyObject_HEAD
+  double vec[SATCORE_NFIELDS];
+  double jdsatepoch;
+  double jdsatepochF;
+  double t;     /* minutes since epoch of the last call */
+  int error;    /* python-sgp4 error code of the last call */
+} SatCore;
+
+static PyObject* build_result(int e, const double* o) {
+  PyObject* r = PyTuple_New(3);
+  PyObject* rv = PyTuple_New(3);
+  PyObject* vv = PyTuple_New(3);
+  if (!r || !rv || !vv) {
+    Py_XDECREF(r); Py_XDECREF(rv); Py_XDECREF(vv);
+    return NULL;
+  }
+  for (int i = 0; i < 3; ++i) {
+    PyTuple_SET_ITEM(rv, i, PyFloat_FromDouble(o[i]));
+    PyTuple_SET_ITEM(vv, i, PyFloat_FromDouble(o[3 + i]));
+  }
+  PyTuple_SET_ITEM(r, 0, PyLong_FromLong(e));
+  PyTuple_SET_ITEM(r, 1, rv);
+  PyTuple_SET_ITEM(r, 2, vv);
+  return r;
+}
+
+/* core.sgp4(jd, fr) -> (e, (x,y,z), (vx,vy,vz)) — full python-sgp4
+ * call semantics in one C round trip. */
+static PyObject* satcore_sgp4(SatCore* self, PyObject* const* args,
+                              Py_ssize_t nargs) {
+  if (nargs != 2) {
+    PyErr_SetString(PyExc_TypeError, "sgp4(jd, fr)");
+    return NULL;
+  }
+  double jd = PyFloat_AsDouble(args[0]);
+  double fr = PyFloat_AsDouble(args[1]);
+  if (PyErr_Occurred()) return NULL;
+  double tsince =
+      ((jd - self->jdsatepoch) + (fr - self->jdsatepochF)) * 1440.0;
+  double out[6];
+  int e = astroz_scalar_sgp4(self->vec, tsince, out);
+  self->t = tsince;
+  self->error = e;
+  return build_result(e, out);
+}
+
+/* core.sgp4_tsince(tsince_min) — python-sgp4 parity entry. */
+static PyObject* satcore_sgp4_tsince(SatCore* self, PyObject* const* args,
+                                     Py_ssize_t nargs) {
+  if (nargs != 1) {
+    PyErr_SetString(PyExc_TypeError, "sgp4_tsince(tsince_min)");
+    return NULL;
+  }
+  double tsince = PyFloat_AsDouble(args[0]);
+  if (PyErr_Occurred()) return NULL;
+  double out[6];
+  int e = astroz_scalar_sgp4(self->vec, tsince, out);
+  self->t = tsince;
+  self->error = e;
+  return build_result(e, out);
+}
+
+static PyMethodDef satcore_methods[] = {
+    {"sgp4", (PyCFunction)(void (*)(void))satcore_sgp4, METH_FASTCALL,
+     "sgp4(jd, fr) -> (e, r, v)"},
+    {"sgp4_tsince", (PyCFunction)(void (*)(void))satcore_sgp4_tsince,
+     METH_FASTCALL, "sgp4_tsince(tsince_min) -> (e, r, v)"},
+    {NULL, NULL, 0, NULL}};
+
+static PyMemberDef satcore_members[] = {
+    {"t", Py_T_DOUBLE, offsetof(SatCore, t), 0,
+     "minutes since epoch of the last propagation"},
+    {"error", Py_T_INT, offsetof(SatCore, error), 0,
+     "python-sgp4 error code of the last propagation"},
+    {NULL, 0, 0, 0, NULL}};
+
+/* SatCore(vec_addr: int, n: int, jdsatepoch: float, jdsatepochF: float)
+ * — copies n doubles out of the packed element vector (the Python side
+ * may free its copy afterwards). */
+static int satcore_init(SatCore* self, PyObject* args, PyObject* kwds) {
+  unsigned long long addr;
+  Py_ssize_t n;
+  double ep, epf;
+  (void)kwds;
+  if (!PyArg_ParseTuple(args, "Kndd", &addr, &n, &ep, &epf)) return -1;
+  if (n <= 0 || n > SATCORE_NFIELDS) {
+    PyErr_SetString(PyExc_ValueError, "element vector size mismatch");
+    return -1;
+  }
+  memset(self->vec, 0, sizeof(self->vec));
+  memcpy(self->vec, (const double*)(uintptr_t)addr,
+         (size_t)n * sizeof(double));
+  self->jdsatepoch = ep;
+  self->jdsatepochF = epf;
+  self->t = 0.0;
+  self->error = 0;
+  return 0;
+}
+
+static PyTypeObject SatCoreType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "_astroz_scalar.SatCore",
+    .tp_basicsize = sizeof(SatCore),
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_doc = "Native per-satellite scalar SGP4/SDP4 propagator core.",
+    .tp_methods = satcore_methods,
+    .tp_members = satcore_members,
+    .tp_init = (initproc)satcore_init,
+    .tp_new = PyType_GenericNew,
+};
 
 /* propagate(vec_addr: int, tsince: float) -> (e, (x,y,z), (vx,vy,vz))
  * vec_addr is the data pointer of the packed element vector (owned and
  * kept alive by the Python-side ScalarEngine). */
 static PyObject* propagate(PyObject* self, PyObject* const* args,
                            Py_ssize_t nargs) {
+  (void)self;
   if (nargs != 2) {
     PyErr_SetString(PyExc_TypeError, "propagate(vec_addr, tsince_min)");
     return NULL;
@@ -31,8 +156,7 @@ static PyObject* propagate(PyObject* self, PyObject* const* args,
   if (PyErr_Occurred()) return NULL;
   double out[6];
   int e = astroz_scalar_sgp4((const double*)(uintptr_t)addr, tsince, out);
-  return Py_BuildValue("i(ddd)(ddd)", e, out[0], out[1], out[2],
-                       out[3], out[4], out[5]);
+  return build_result(e, out);
 }
 
 static PyMethodDef methods[] = {
@@ -45,5 +169,14 @@ static struct PyModuleDef moduledef = {
     "Native scalar SGP4/SDP4 single-point propagator.", -1, methods};
 
 PyMODINIT_FUNC PyInit__astroz_scalar(void) {
-  return PyModule_Create(&moduledef);
+  if (PyType_Ready(&SatCoreType) < 0) return NULL;
+  PyObject* m = PyModule_Create(&moduledef);
+  if (!m) return NULL;
+  Py_INCREF(&SatCoreType);
+  if (PyModule_AddObject(m, "SatCore", (PyObject*)&SatCoreType) < 0) {
+    Py_DECREF(&SatCoreType);
+    Py_DECREF(m);
+    return NULL;
+  }
+  return m;
 }

@@ -201,7 +201,6 @@ extern "C" {
 // error code (0 = ok; errored output is zero-filled).
 int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
   for (int i = 0; i < 6; ++i) out6[i] = 0.0;
-  const double x2o3 = 2.0 / 3.0;
   const double temp4 = 1.5e-12;
   const double vkmpersec = s[RADIUSEARTHKM] * s[XKE] / 60.0;
   const double t = tsince;
@@ -239,9 +238,11 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
     dspace(s, t, em, argpm, inclm, nodem, mm, nm);
 
   if (nm <= 0.0) return 2;
-  const double am =
-      std::pow(s[XKE] / nm, x2o3) * tempa * tempa;
-  nm = s[XKE] / std::pow(am, 1.5);
+  // x^(2/3) = cbrt(x)^2 and x^1.5 = x*sqrt(x): each replaces a generic
+  // ~100 ns pow call; differs from pow by <=2 ulp (parity gate 1e-9 km)
+  const double cb = std::cbrt(s[XKE] / nm);
+  const double am = cb * cb * tempa * tempa;
+  nm = s[XKE] / (am * std::sqrt(am));
   em -= tempe;
   if (em >= 1.0 || em < -0.001) return 1;
   if (em < 1.0e-6) em = 1.0e-6;
