@@ -154,30 +154,37 @@ def _resonance_tables(deep: DeepElements, els: Sgp4Elements, n_steps: int):
     """
     f64 = els.no_kozai.dtype
 
-    def build(delt):
-        def step(state, _):
-            xli, xni, atime = state
-            xndt, xldot, xnddt = _resonance_derivs_fast(
-                deep, els, xli, xni, atime)
-            row = (xli, xni, xndt, xldot, xnddt)
-            xli_n = xli + xldot * delt + xndt * STEP2
-            xni_n = xni + xndt * delt + xnddt * STEP2
-            return (xli_n, xni_n, atime + delt), row
+    # forward and backward integrations fused into ONE scan over a
+    # doubled lane axis (state (2, n_sats): row 0 steps +720, row 1
+    # steps -720) — scan iteration count, the latency floor for long
+    # horizons, stays n_steps+1 instead of 2*(n_steps+1)
+    delt = jnp.stack([jnp.full_like(deep.xlamo, STEPP),
+                      jnp.full_like(deep.xlamo, -STEPP)])
 
-        init = (deep.xlamo + jnp.zeros_like(deep.xlamo),
-                els.no_unkozai + jnp.zeros_like(deep.xlamo),
-                jnp.zeros_like(deep.xlamo))
-        _, rows = jax.lax.scan(step, init, None, length=n_steps + 1)
-        return rows
+    def step(state, _):
+        xli, xni, atime = state
+        xndt, xldot, xnddt = _resonance_derivs_fast(
+            deep, els, xli, xni, atime)
+        row = (xli, xni, xndt, xldot, xnddt)
+        xli_n = xli + xldot * delt + xndt * STEP2
+        xni_n = xni + xndt * delt + xnddt * STEP2
+        return (xli_n, xni_n, atime + delt), row
 
-    fwd = build(jnp.asarray(STEPP, f64))
-    bwd = build(jnp.asarray(-STEPP, f64))
-    return tuple(jnp.concatenate([f, b], axis=0)
-                 for f, b in zip(fwd, bwd))
+    zeros2 = jnp.zeros((2,) + deep.xlamo.shape, f64)
+    init = (deep.xlamo + zeros2, els.no_unkozai + zeros2, zeros2)
+    # NOTE: scan unroll measured 5-16x SLOWER on XLA:CPU (23 ms vs
+    # 1.4 ms at 64 steps) — the unrolled body defeats op fusion; keep
+    # unroll=1
+    _, rows = jax.lax.scan(step, init, None, length=n_steps + 1)
+    # rows: (n_steps+1, 2, S) -> (2*(n_steps+1), S), forward block
+    # first, backward block after (the layout the gathers expect)
+    return tuple(jnp.concatenate([rr[:, 0], rr[:, 1]], axis=0)
+                 for rr in rows)
 
 
 def _resonance_from_tables(deep: DeepElements, els: Sgp4Elements, t,
-                           resonance_steps: Optional[int]):
+                           resonance_steps: Optional[int],
+                           resonance_window: Optional[int] = None):
     """Table-form resonance integration: integrate the 720-min
     Euler-Maclaurin recurrence ONCE per satellite (see
     :func:`_resonance_tables`), then each grid point selects its step
@@ -204,10 +211,49 @@ def _resonance_from_tables(deep: DeepElements, els: Sgp4Elements, t,
     # elementwise selects (98.5 ms vs 0.25 ms for the 1440x667 grid) —
     # the table is tiny along the step axis, so selects fuse into one
     # elementwise pass. Past ~256 rows (horizons beyond ~90 days) the
-    # unroll would bloat compile time, so fall back to the gather; long
-    # monotone grids should use the scan-carry path instead.
+    # flat unroll would bloat compile time AND per-point cost grows
+    # O(n_rows) — there the WINDOWED signed-row gather below keeps
+    # per-point cost O(window), horizon-independent.
     n_rows = 2 * (n_steps + 1)
-    if n_rows <= 256:
+    W = resonance_window
+    if W is not None and n_rows > max(32, 2 * W):
+        # Windowed two-level select (kills the >90-day cliff): within
+        # one TIME row, the step index spans at most the catalog's
+        # epoch spread in 720-min units — the host-known static window
+        # W (the caller derives it from the deep subset's epoch
+        # extremes; reference analogue: the sorted-carry sweep,
+        # satrec.zig:650-686, which likewise exploits time coherence).
+        # Level 1: rebuild the table in SIGNED row order (index
+        # j = n_steps + sign(t)*k, so j is monotone in tsince and
+        # adjacent lanes land in adjacent rows) and row-gather the W
+        # candidate rows per time row — the gather index varies only
+        # along the major axis, which lowers to efficient full-row
+        # gathers, not per-lane gathers. Level 2: a W-deep select chain
+        # picks each lane's row.
+        sgn_idx = n_steps + jnp.where(tg < 0.0, -k, k)
+        row_base = jnp.min(sgn_idx, axis=-1)            # per time row
+        off = sgn_idx - row_base[..., None]
+        top = jnp.int32(2 * n_steps)
+
+        # translate signed row j (= n_steps + sign*k) back to the
+        # tables' fwd-then-bwd storage order WITHOUT materializing a
+        # reversed+concatenated copy per call (the copy scaled with
+        # table depth and dominated long horizons):
+        # j >= n_steps -> fwd row j - n_steps; else bwd row n_steps - j
+        # at storage offset n_steps + 1
+        def to_storage(j):
+            return jnp.where(j >= n_steps, j - n_steps,
+                             jnp.int32(2 * n_steps + 1) - j)
+
+        def gather(tbl):
+            out = None
+            for w in range(W):
+                j = jnp.minimum(row_base + w, top)
+                rows = tbl[to_storage(j)]
+                out = rows if out is None else jnp.where(off == w,
+                                                         rows, out)
+            return jnp.broadcast_to(out, shape)
+    elif n_rows <= 256:
         def gather(tbl):
             out = jnp.broadcast_to(tbl[0], shape)
             for row in range(1, n_rows):
@@ -535,6 +581,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
                    carry: Optional[ResonanceCarry] = None,
                    kepler_iters: int = 8,
                    resonance_steps: Optional[int] = None,
+                   resonance_window: Optional[int] = None,
                    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Unified mixed-catalog propagate, split-precision.
 
@@ -542,6 +589,13 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     Returns ``(r, v, error)`` in f32 TEME km / km/s with int32
     python-sgp4 error codes. Numerics match the f64 reference path to
     ~10 m over +-1440 min (test-gated).
+
+    ``resonance_window``: static per-time-row step-index spread for the
+    windowed resonance gather — ONLY valid when, within each row of
+    ``tsince``, values span at most ``(window - 2) * 720`` minutes
+    (true for catalog grids, where rows differ by per-satellite epoch
+    offsets). The catalog layer derives it from the deep subset's epoch
+    extremes; leave ``None`` for arbitrary grids.
     """
     f64 = els.no_kozai.dtype
     t = jnp.asarray(tsince, f64)
@@ -579,7 +633,8 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
         resonant = deep.irez != 0
         if carry is None:
             nm_res, xl = _resonance_from_tables(deep, els, t,
-                                                resonance_steps)
+                                                resonance_steps,
+                                                resonance_window)
         else:
             # carry form: resume the integration point-wise from the
             # provided state (reference restart rule, Sdp4.zig:787-791)
@@ -890,7 +945,8 @@ def deep_f32_fields(els: Sgp4Elements, deep: DeepElements):
 
 
 def deep_spine_f64(els: Sgp4Elements, deep: DeepElements, t,
-                   resonance_steps: Optional[int] = None):
+                   resonance_steps: Optional[int] = None,
+                   resonance_window: Optional[int] = None):
     """The f64 angle spine for an all-deep satellite subset: secular +
     lunisolar-secular angle accumulation and the table-form resonance
     integration, reduced mod 2pi and cast to f32 (the deep analogue of
@@ -908,7 +964,8 @@ def deep_spine_f64(els: Sgp4Elements, deep: DeepElements, t,
     templ_big = els.no_unkozai * t2 * els.t2cof
 
     resonant = deep.irez != 0
-    nm_res, xl = _resonance_from_tables(deep, els, t, resonance_steps)
+    nm_res, xl = _resonance_from_tables(deep, els, t, resonance_steps,
+                                        resonance_window)
     theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
     mm_geo = xl - nodem64 - argpdf + theta
     mm_half = xl - 2.0 * nodem64 + 2.0 * theta

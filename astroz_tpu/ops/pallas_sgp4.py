@@ -41,9 +41,21 @@ _FIELD_NAMES = ("omgcof", "eta", "xmcof", "delmo", "cc1", "d2", "d3",
 
 
 def _store(out_refs, vals):
-    """Write a tail's output tuple (6+err or 3+err) to the out refs."""
-    for ref, val in zip(out_refs, vals):
-        ref[:] = val
+    """Write a tail's output tuple into the GROUPED out refs.
+
+    Outputs are stacked component buffers — r (3, T, S), v (3, T, S),
+    err (T, S) — written component-by-component into the (3, tb, sb)
+    blocks, so the kernel emits the final (3, T, N) layout directly and
+    no post-kernel stack copy ever exists (the analogue of the
+    reference writing into caller-provided pos/vel buffers,
+    satrec.zig:896-988)."""
+    if len(vals) == 7:
+        r_ref, v_ref, e_ref = out_refs
+        v_ref[0], v_ref[1], v_ref[2] = vals[3], vals[4], vals[5]
+    else:
+        r_ref, e_ref = out_refs
+    r_ref[0], r_ref[1], r_ref[2] = vals[0], vals[1], vals[2]
+    e_ref[:] = vals[-1]
 
 
 def _kernel(grav, kepler_iters, want_vel, t_ref, ub_ref, mm_ref, ar_ref,
@@ -56,22 +68,43 @@ def _kernel(grav, kepler_iters, want_vel, t_ref, ub_ref, mm_ref, ar_ref,
         no_ref[:], xm_ref[:], want_vel=want_vel, **f))
 
 
-def _out_count(want_vel: bool) -> int:
-    return 7 if want_vel else 4
+def _out_shapes(n_times: int, n_sats: int, want_vel: bool):
+    """Grouped EXACT out shapes: r (3, T, S) f32 [, v (3, T, S) f32],
+    err (T, S) i32. Mosaic masks boundary-block stores, so no output
+    padding and no post-kernel trim copy."""
+    shape_r = jax.ShapeDtypeStruct((3, n_times, n_sats), jnp.float32)
+    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
+    return ([shape_r, shape_r, shape_i] if want_vel
+            else [shape_r, shape_i])
+
+
+def _out_specs(time_block: int, sat_block: int, want_vel: bool):
+    def rv_map(i, j):
+        return (i - i, i, j)
+
+    rv = pl.BlockSpec((3, time_block, sat_block), rv_map,
+                      memory_space=pltpu.VMEM)
+    e = pl.BlockSpec((time_block, sat_block), lambda i, j: (i, j),
+                     memory_space=pltpu.VMEM)
+    return [rv, rv, e] if want_vel else [rv, e]
+
+
+def _unpack_outs(outs, want_vel: bool):
+    """(r3, v3 | None, err) from the grouped kernel outputs."""
+    if want_vel:
+        r3, v3, err = outs
+    else:
+        (r3, err), v3 = outs, None
+    return r3, v3, err
 
 
 def _assemble(outs, n_times, n_sats, want_vel: bool):
-    """Stack exact-shape kernel planes to the (r, v, err) contract.
-
-    Output planes are EXACT (n_times, n_sats) — out_shape is not padded
-    to tile multiples; Mosaic masks the boundary-block stores — so the
-    only post-kernel work is the stack itself."""
-    r = jnp.stack(outs[0:3], axis=-1)[:n_times, :n_sats]
-    if want_vel:
-        v = jnp.stack(outs[3:6], axis=-1)[:n_times, :n_sats]
-    else:
-        v = None
-    err = outs[-1][:n_times, :n_sats]
+    """Reshape the grouped (3, T, S) kernel outputs to the classic
+    time-major (T, S, 3) contract — ONE relayout (the planes callers
+    skip even that: the kernel buffers already are the planes layout)."""
+    r3, v3, err = _unpack_outs(outs, want_vel)
+    r = jnp.moveaxis(r3, 0, -1)
+    v = jnp.moveaxis(v3, 0, -1) if want_vel else None
     return r, v, err
 
 
@@ -124,7 +157,6 @@ def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
     def col_map(i, j):
         return (i - i, j)
 
-    n_out = _out_count(want_vel)
     grid = (tt // time_block, ss // sat_block)
     grid_spec = pl.GridSpec(
         grid=grid,
@@ -137,17 +169,11 @@ def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((1, sat_block), col_map,
                         memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((time_block, sat_block),
-                                lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * n_out,
+        out_specs=_out_specs(time_block, sat_block, want_vel),
     )
-    # EXACT out shapes: Mosaic masks boundary-block stores, so no
-    # output padding and no post-kernel trim copy
-    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_kernel, grav, kepler_iters, want_vel),
-        out_shape=[shape_f] * (n_out - 1) + [shape_i],
+        out_shape=_out_shapes(n_times, n_sats, want_vel),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*grids, fields, simp, err0)
@@ -217,7 +243,6 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
     def col_map(i, j):
         return (i - i, j)
 
-    n_out = _out_count(want_vel)
     grid_spec = pl.GridSpec(
         grid=(tt // time_block, ss // sat_block),
         in_specs=[pl.BlockSpec((time_block, sat_block),
@@ -229,19 +254,13 @@ def propagate_fast_pallas_fused(els: Sgp4Elements, tsince,
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((1, sat_block), col_map,
                         memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((time_block, sat_block),
-                                lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * n_out,
+        out_specs=_out_specs(time_block, sat_block, want_vel),
     )
-    # EXACT out shapes: Mosaic masks boundary-block stores, so no
-    # output padding and no post-kernel trim copy
-    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     with no_barriers():
         outs = pl.pallas_call(
             functools.partial(_kernel_fused, grav, kepler_iters,
                               want_vel),
-            out_shape=[shape_f] * (n_out - 1) + [shape_i],
+            out_shape=_out_shapes(n_times, n_sats, want_vel),
             grid_spec=grid_spec,
             interpret=interpret,
         )(th, tl, fields, simp, err0)
@@ -294,13 +313,15 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
     epoch_jd * 1440`` — the per-lane epoch subtraction happens in
     double-f32 inside the kernel, so the XLA prologue is O(T + S).
 
-    With ``planes=True``, returns the raw kernel output planes
-    ``(x, y, z[, vx, vy, vz], err)``, each EXACT ``(n_times, n_sats)``
-    (boundary-block stores are masked, so no pad trim exists) — callers
-    that scatter deep-space results in must do it on these planes and
-    stack afterwards: stacking to ``(..., 3)`` first forces XLA to
-    materialize the minor-dim-3 layout and every later op on it pays
-    full relayout copies (measured ~6 ms per 233 MB plane set)."""
+    With ``planes=True``, returns the raw GROUPED kernel buffers
+    ``[r3 (3, T, S) f32[, v3 (3, T, S) f32], err (T, S) i32]``, all
+    EXACT shapes (boundary-block stores are masked, so no pad trim
+    exists) — the kernel writes the stacked component layout directly,
+    so a planes-layout consumer pays zero post-kernel copies. Callers
+    that substitute deep-space results must do it on these grouped
+    buffers: a minor-dim-3 ``(..., 3)`` intermediate would force XLA to
+    materialize that layout and pay full relayout copies on every later
+    op (measured ~6 ms per 233 MB plane set)."""
     t_time = jnp.asarray(t_time)
     t_sat = jnp.asarray(t_sat)
     n_times = t_time.shape[0]
@@ -335,7 +356,6 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
     def time_map(i, j):
         return (i, j - j)
 
-    n_out = _out_count(want_vel)
     grid_spec = pl.GridSpec(
         grid=(tt // time_block, ss // sat_block),
         in_specs=[pl.BlockSpec((time_block, 1), time_map,
@@ -346,19 +366,13 @@ def propagate_fast_pallas_sep(els: Sgp4Elements, t_time, t_sat,
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((1, sat_block), col_map,
                         memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((time_block, sat_block),
-                                lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * n_out,
+        out_specs=_out_specs(time_block, sat_block, want_vel),
     )
-    # EXACT out shapes: Mosaic masks boundary-block stores, so no
-    # output padding and no post-kernel trim copy
-    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     with no_barriers():
         outs = pl.pallas_call(
             functools.partial(_kernel_fused_sep, grav, kepler_iters,
                               want_vel),
-            out_shape=[shape_f] * (n_out - 1) + [shape_i],
+            out_shape=_out_shapes(n_times, n_sats, want_vel),
             grid_spec=grid_spec,
             interpret=interpret,
         )(ah, al, fields, simp, err0)
@@ -397,14 +411,16 @@ def _kernel_deep(grav, kepler_iters, want_vel, t_ref, ub_ref, mm_ref,
                                              "resonance_steps",
                                              "time_block", "sat_block",
                                              "interpret", "planes",
-                                             "want_vel"))
+                                             "want_vel",
+                                             "resonance_window"))
 def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
                           grav: GravityModel, kepler_iters: int = 8,
                           resonance_steps: Optional[int] = None,
                           time_block: int = TIME_BLOCK,
                           sat_block: int = DEEP_SAT_BLOCK,
                           interpret: bool = False, planes: bool = False,
-                          want_vel: bool = True
+                          want_vel: bool = True,
+                          resonance_window: Optional[int] = None
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Deep-subset dense-grid propagate through the Pallas engine.
 
@@ -412,8 +428,9 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
     partition guarantees this). ``tsince``: (n_times, 1) or
     (n_times, n_sats) f64 minutes. Returns (r, v, error) like the XLA
     deep path (``propagate_fast`` with all-deep elements); with
-    ``planes=True`` returns the raw exact-shape component planes for
-    the plane-scatter merge (see propagate_fast_pallas_sep).
+    ``planes=True`` returns the raw exact-shape grouped buffers
+    ``[r3, v3, err]`` for the plane-substitution merge (see
+    propagate_fast_pallas_sep).
     """
     t = jnp.asarray(tsince)
     n_sats = els.no_kozai.shape[0]
@@ -421,7 +438,8 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
 
     # f64 deep spine in XLA (fused), producing six f32 (T, S) grids
     grids = [jnp.broadcast_to(g, (n_times, n_sats))
-             for g in deep_spine_f64(els, deep, t, resonance_steps)]
+             for g in deep_spine_f64(els, deep, t, resonance_steps,
+                                     resonance_window)]
 
     fdict = deep_f32_fields(els, deep)
     fields = jnp.stack([fdict[n] for n in DEEP_FIELD_NAMES])
@@ -440,7 +458,6 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
     def col_map(i, j):
         return (i - i, j)
 
-    n_out = _out_count(want_vel)
     grid_spec = pl.GridSpec(
         grid=(tt // time_block, ss // sat_block),
         in_specs=[pl.BlockSpec((time_block, sat_block),
@@ -450,17 +467,11 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((1, sat_block), col_map,
                         memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((time_block, sat_block),
-                                lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * n_out,
+        out_specs=_out_specs(time_block, sat_block, want_vel),
     )
-    # EXACT out shapes: Mosaic masks boundary-block stores, so no
-    # output padding and no post-kernel trim copy
-    shape_f = jax.ShapeDtypeStruct((n_times, n_sats), jnp.float32)
-    shape_i = jax.ShapeDtypeStruct((n_times, n_sats), jnp.int32)
     outs = pl.pallas_call(
         functools.partial(_kernel_deep, grav, kepler_iters, want_vel),
-        out_shape=[shape_f] * (n_out - 1) + [shape_i],
+        out_shape=_out_shapes(n_times, n_sats, want_vel),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*grids, fields, err0)

@@ -165,7 +165,7 @@ def propagate_sharded(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
 @functools.lru_cache(maxsize=32)
 def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
                      output: str, want_vel: bool, layout: str,
-                     res_steps: int, mixed: bool):
+                     res_steps: int, mixed: bool, res_window=None):
     """Build (once per static configuration) the jitted shard_map for
     :func:`propagate_sharded_fast`. Cached: a fresh closure per call
     would make ``jax.jit`` miss its trace cache and recompile the whole
@@ -175,7 +175,8 @@ def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
 
     from ..ops.sdp4 import DeepElements
     from ..ops.sgp4 import Sgp4Elements
-    from ..propagation import _finalize_planes, _shallow_planes
+    from ..propagation import (_deep_planes, _finalize_planes,
+                               _shallow_planes)
 
     sat_spec = P("sat")
     time_spec = P("time")
@@ -200,31 +201,20 @@ def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
             *([rep_spec] * len(DeepElements._fields)))
 
         def shard_fn(els_l, tt, ts, js, m_loc, i_loc, e_deep, d_sub, tsd):
-            n_t, n_s = tt.shape[0], ts.shape[0]
-            planes = list(_shallow_planes(els_l, tt, ts, grav,
-                                          kepler_iters, engine, want_vel))
+            r3, v3, err = _shallow_planes(els_l, tt, ts, grav,
+                                          kepler_iters, engine, want_vel)
             # deep tsince grid built in-shard: each device computes the
             # deep subset only for its own time rows
             ts_deep = tt[:, None] - tsd[None, :]
-            if engine == "pallas":
-                from ..ops.pallas_sgp4 import propagate_deep_pallas
-                d_planes = propagate_deep_pallas(
-                    e_deep, d_sub, ts_deep, grav,
-                    resonance_steps=res_steps, planes=True,
-                    want_vel=want_vel)
-            else:
-                from ..ops.fast import (deep_f32_fields, deep_spine_f64,
-                                        deep_tail_f32)
-                spine = deep_spine_f64(e_deep, d_sub, ts_deep, res_steps)
-                d_planes = deep_tail_f32(grav, 8, *spine,
-                                         want_vel=want_vel,
-                                         **deep_f32_fields(e_deep, d_sub))
-            n_deep = tsd.shape[0]
-            for c in range(4 if not want_vel else 7):
-                dsel = d_planes[c][:n_t, :n_deep][:, i_loc]
-                planes[c] = jnp.where(m_loc[None, :], dsel,
-                                      planes[c][:n_t, :n_s])
-            r, v, err = _finalize_planes(planes, n_t, n_s, js, output,
+            d_r3, d_v3, d_err = _deep_planes(e_deep, d_sub, ts_deep,
+                                             grav, engine, res_steps,
+                                             want_vel, res_window)
+            m = m_loc[None, :]
+            r3 = jnp.where(m[None], d_r3[:, :, i_loc], r3)
+            if want_vel:
+                v3 = jnp.where(m[None], d_v3[:, :, i_loc], v3)
+            err = jnp.where(m, d_err[:, i_loc], err)
+            r, v, err = _finalize_planes(r3, v3, err, js, output,
                                          want_vel, layout)
             return (r, v, err) if want_vel else (r, err)
 
@@ -237,10 +227,10 @@ def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
                        check_vma=False)
     else:
         def shard_fn(els_l, tt, ts, js):
-            planes = _shallow_planes(els_l, tt, ts, grav, kepler_iters,
-                                     engine, want_vel)
-            r, v, err = _finalize_planes(planes, tt.shape[0], ts.shape[0],
-                                         js, output, want_vel, layout)
+            r3, v3, err = _shallow_planes(els_l, tt, ts, grav,
+                                          kepler_iters, engine, want_vel)
+            r, v, err = _finalize_planes(r3, v3, err, js, output,
+                                         want_vel, layout)
             return (r, v, err) if want_vel else (r, err)
 
         fn = shard_map(shard_fn, mesh=mesh,
@@ -345,8 +335,10 @@ def stage_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
         deep_sub = jax.tree_util.tree_map(_place_rep, cat.deep_sub)
         t_sat_deep = jax.device_put(
             (els_deep.epoch_jd - ref) * MINUTES_PER_DAY, rep_sh)
+        from ..propagation import _resonance_window
         fn = _sharded_fast_fn(mesh, grav, kepler_iters, engine, output,
-                              want_vel, layout, res_steps, True)
+                              want_vel, layout, res_steps, True,
+                              _resonance_window(cat.deep_epochs_jd))
         args = (els, t_time, t_sat, jd_sum, mask_loc,
                 inv_loc, els_deep, deep_sub, t_sat_deep)
     else:

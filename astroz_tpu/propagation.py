@@ -357,30 +357,29 @@ def _finalize(r, v, err, jd_sum, output: str, want_vel: bool):
     return (r, v, err) if want_vel else (r, None, err)
 
 
-def _finalize_planes(planes, n_times, n_sats, jd_sum, output: str,
+def _finalize_planes(r3, v3, err, jd_sum, output: str,
                      want_vel: bool, layout: str):
-    """Frame conversion + layout assembly on raw component planes.
+    """Frame conversion + layout assembly on grouped component planes.
 
-    ``planes`` is the kernel output list — (x, y, z[, vx, vy, vz], err),
-    each (>=n_times, >=n_sats) (Pallas planes carry tile padding; the
-    trim fuses into the final stack/transpose). The frame rotation runs
-    per-plane, so no minor-dim-3 array exists until the very last stack
-    — and with ``layout="planes"`` never: r comes back (3, T, S), the
-    planes' own layout (major-axis stack = contiguous concat, no
-    relayout). ``sat_major`` transposes each (T, S) plane — a tiled 2-D
-    transpose, cheaper than relaying out a minor-dim-3 array.
+    ``r3``/``v3`` are the kernels' native (3, n_times, n_sats) stacked
+    component buffers (exact shapes — Pallas writes them directly; see
+    ops/pallas_sgp4._store) and ``err`` is (n_times, n_sats). With
+    ``layout="planes"`` and TEME output this function is the identity —
+    zero post-kernel work, the analogue of the reference's into-buffer
+    writes (satrec.zig:896-988). The frame rotation decomposes into
+    per-component math and restacks (one write pass, fused with the
+    rotation itself); ``sat_major``/``time_major`` pay exactly one
+    relayout transpose.
     """
-    ps = [p[:n_times, :n_sats] for p in planes]
-    err = ps[-1]
-    x, y, z = ps[0:3]
-    vpl = ps[3:6] if want_vel else None
     if output != "teme":
+        x, y, z = r3[0], r3[1], r3[2]
         gmst = gstime(jd_sum).astype(x.dtype)  # jd_sum is (T, 1)
         sg, cg = jnp.sin(gmst), jnp.cos(gmst)
         x, y = cg * x + sg * y, -sg * x + cg * y
         if want_vel:
-            vx, vy, vz = vpl
-            vpl = [cg * vx + sg * vy, -sg * vx + cg * vy, vz]
+            vx, vy, vz = v3[0], v3[1], v3[2]
+            v3 = jnp.stack([cg * vx + sg * vy, -sg * vx + cg * vy, vz],
+                           axis=0)
         if output in ("geodetic", "geodetic_deg"):
             from .frames import ecef_to_geodetic_xyz
             lat, lon, alt = ecef_to_geodetic_xyz(x, y, z)
@@ -388,18 +387,15 @@ def _finalize_planes(planes, n_times, n_sats, jd_sum, output: str,
                 from .constants import RAD2DEG
                 lat, lon = lat * RAD2DEG, lon * RAD2DEG
             x, y, z = lat, lon, alt
-    rpl = [x, y, z]
+        r3 = jnp.stack([x, y, z], axis=0)
     if layout == "planes":
-        r = jnp.stack(rpl, axis=0)
-        v = jnp.stack(vpl, axis=0) if want_vel else None
-        return r, v, err
+        return r3, v3 if want_vel else None, err
     if layout == "sat_major":
-        rpl = [p.T for p in rpl]
-        if want_vel:
-            vpl = [p.T for p in vpl]
-        err = err.T
-    r = jnp.stack(rpl, axis=-1)
-    v = jnp.stack(vpl, axis=-1) if want_vel else None
+        r = jnp.transpose(r3, (2, 1, 0))
+        v = jnp.transpose(v3, (2, 1, 0)) if want_vel else None
+        return r, v, err.T
+    r = jnp.moveaxis(r3, 0, -1)
+    v = jnp.moveaxis(v3, 0, -1) if want_vel else None
     return r, v, err
 
 
@@ -417,24 +413,69 @@ def _propagate_mixed(els: Sgp4Elements, deep: DeepElements, tsince, jd_sum,
     return _finalize(r, v, err, jd_sum, output, want_vel)
 
 
+def _resonance_window(epochs_jd: np.ndarray) -> int:
+    """Static per-time-row step-index spread for the windowed resonance
+    gather (ops/fast.py:_resonance_from_tables): within one row of the
+    separable grid ``tsince = t_time - t_sat``, values span exactly the
+    deep subset's epoch spread, so the 720-min step index spans at most
+    ``ceil(spread/720) + 2`` rows (+1 floor boundary, +1 sign
+    transition). Rounded up to a multiple of 4 to bound recompilation.
+    """
+    spread_min = float(epochs_jd.max() - epochs_jd.min()) * 1440.0
+    w = int(np.ceil(spread_min / 720.0)) + 3
+    return int(-4 * (-w // 4))
+
+
+def _group_planes(vals, want_vel: bool):
+    """(x, y, z[, vx, vy, vz], err) components -> (r3, v3 | None, err)."""
+    r3 = jnp.stack(vals[0:3], axis=0)
+    v3 = jnp.stack(vals[3:6], axis=0) if want_vel else None
+    return r3, v3, vals[-1]
+
+
 def _shallow_planes(els, t_time, t_sat, grav, kepler_iters, engine,
                     want_vel: bool):
-    """Run the shallow fast kernel on the chosen engine, returning raw
-    component planes ``(x, y, z[, vx, vy, vz], err)``: the fused Pallas
-    kernel on TPU ('pallas', planes carry tile padding) or the XLA
-    elementwise graph (exact shapes). The time grid is separable:
-    tsince = t_time[:, None] - t_sat."""
+    """Run the shallow fast kernel on the chosen engine, returning the
+    grouped component planes ``(r3, v3 | None, err)`` with r3/v3 shaped
+    (3, n_times, n_sats): the fused Pallas kernel on TPU ('pallas' —
+    writes the grouped buffers directly) or the XLA elementwise graph.
+    The time grid is separable: tsince = t_time[:, None] - t_sat."""
     if engine == "pallas":
-        from .ops.pallas_sgp4 import propagate_fast_pallas_sep
-        return propagate_fast_pallas_sep(els, t_time, t_sat, grav,
+        from .ops.pallas_sgp4 import (_unpack_outs,
+                                      propagate_fast_pallas_sep)
+        outs = propagate_fast_pallas_sep(els, t_time, t_sat, grav,
                                          kepler_iters=kepler_iters,
                                          planes=True, want_vel=want_vel)
+        return _unpack_outs(outs, want_vel)
     from .ops.fast import _shallow_f32_fields, shallow_tail_f32, spine_f64
     tsince = t_time[:, None] - t_sat[None, :]
     spine = spine_f64(els, tsince)
-    return shallow_tail_f32(grav, kepler_iters, *spine,
-                            want_vel=want_vel,
-                            **_shallow_f32_fields(els))
+    return _group_planes(shallow_tail_f32(grav, kepler_iters, *spine,
+                                          want_vel=want_vel,
+                                          **_shallow_f32_fields(els)),
+                         want_vel)
+
+
+def _deep_planes(els_deep, deep_sub, tsince_deep, grav, engine,
+                 resonance_steps, want_vel: bool,
+                 resonance_window=None):
+    """Deep-subset kernel on the chosen engine, grouped planes form
+    (r3, v3 | None, err) like :func:`_shallow_planes`."""
+    if engine == "pallas":
+        from .ops.pallas_sgp4 import _unpack_outs, propagate_deep_pallas
+        outs = propagate_deep_pallas(
+            els_deep, deep_sub, tsince_deep, grav,
+            resonance_steps=resonance_steps, planes=True,
+            want_vel=want_vel, resonance_window=resonance_window)
+        return _unpack_outs(outs, want_vel)
+    from .ops.fast import deep_f32_fields, deep_spine_f64, deep_tail_f32
+    spine = deep_spine_f64(els_deep, deep_sub, tsince_deep,
+                           resonance_steps, resonance_window)
+    return _group_planes(deep_tail_f32(grav, 8, *spine,
+                                       want_vel=want_vel,
+                                       **deep_f32_fields(els_deep,
+                                                         deep_sub)),
+                         want_vel)
 
 
 def default_engine() -> str:
@@ -453,15 +494,15 @@ def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
                             grav: GravityModel, output: str, want_vel: bool,
                             kepler_iters: int = 8, engine: str = "xla",
                             layout: str = "time_major"):
-    planes = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
-                             engine, want_vel)
-    return _finalize_planes(planes, t_time.shape[0], t_sat.shape[0],
-                            jd_sum, output, want_vel, layout)
+    r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
+                                  engine, want_vel)
+    return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 
 
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
-                          "engine", "resonance_steps", "layout"))
+                          "engine", "resonance_steps", "layout",
+                          "resonance_window"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 deep_sub: DeepElements, deep_mask,
                                 deep_inv, t_time,
@@ -470,7 +511,8 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 output: str, want_vel: bool,
                                 kepler_iters: int = 8, engine: str = "xla",
                                 resonance_steps=None,
-                                layout: str = "time_major"):
+                                layout: str = "time_major",
+                                resonance_window=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the (static) deep subset, merged
     into the full grid by a per-satellite expansion map
@@ -478,40 +520,26 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
 
     The select-merge replaced an index scatter: on TPU the lane-dim
     scatter forced materialization boundaries that cost ~3 ms, while
-    the gather+select fuses into the final stack (13.0 -> 10.0 ms
-    end-to-end on the 13478x1440 grid). The merge always runs on raw
-    per-component (time, sat) kernel output planes BEFORE any stacking
-    to ``(..., 3)`` — stacking first forces XLA to materialize the
-    minor-dim-3 layout and pay relayout copies per plane (measured
-    +17.6 ms); with ``layout="planes"`` the minor-dim-3 array never
-    exists at all."""
+    the gather+select fuses into the downstream layout pass (13.0 ->
+    10.0 ms end-to-end on the 13478x1440 grid). The merge runs on the
+    kernels' grouped (3, time, sat) component buffers — never on a
+    minor-dim-3 array, which would force XLA to materialize that layout
+    and pay relayout copies per plane (measured +17.6 ms); with
+    ``layout="planes"`` the minor-dim-3 array never exists at all."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
-    n_times = t_time.shape[0]
-    n_sats = t_sat.shape[0]
-    n_deep = t_sat_deep.shape[0]
-    n_pl = 7 if want_vel else 4
-    if engine == "pallas":
-        from .ops.pallas_sgp4 import propagate_deep_pallas
-        # deep subset through its own fused kernel (f64 spine +
-        # resonance tables in XLA, f32 tail in Pallas)
-        d_planes = propagate_deep_pallas(
-            els_deep, deep_sub, tsince_deep, grav,
-            resonance_steps=resonance_steps, planes=True,
-            want_vel=want_vel)
-    else:
-        from .ops.fast import deep_f32_fields, deep_spine_f64, deep_tail_f32
-        spine = deep_spine_f64(els_deep, deep_sub, tsince_deep,
-                               resonance_steps)
-        d_planes = deep_tail_f32(grav, 8, *spine, want_vel=want_vel,
-                                 **deep_f32_fields(els_deep, deep_sub))
-    planes = list(_shallow_planes(els, t_time, t_sat, grav, kepler_iters,
-                                  engine, want_vel))
-    for c in range(n_pl):
-        dsel = d_planes[c][:n_times, :n_deep][:, deep_inv]
-        planes[c] = jnp.where(deep_mask[None, :], dsel,
-                              planes[c][:n_times, :n_sats])
-    return _finalize_planes(planes, n_times, n_sats, jd_sum, output,
-                            want_vel, layout)
+    # deep subset through its own kernel (f64 spine + resonance tables
+    # in XLA, f32 tail fused), then substituted into the deep columns
+    d_r3, d_v3, d_err = _deep_planes(els_deep, deep_sub, tsince_deep,
+                                     grav, engine, resonance_steps,
+                                     want_vel, resonance_window)
+    r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
+                                  engine, want_vel)
+    m = deep_mask[None, :]
+    r3 = jnp.where(m[None], d_r3[:, :, deep_inv], r3)
+    if want_vel:
+        v3 = jnp.where(m[None], d_v3[:, :, deep_inv], v3)
+    err = jnp.where(m, d_err[:, deep_inv], err)
+    return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 
 
 @partial(jax.jit, static_argnames=("grav", "output", "want_vel"))
@@ -618,11 +646,12 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                          * MINUTES_PER_DAY)
             steps = max(2, int(2 ** np.ceil(np.log2(
                 max(tmax / 720.0, 1.0) + 1.0))))
+            window = _resonance_window(ep_deep)
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
                 deep_mask, deep_inv, t_time, t_sat, t_sat_deep,
                 jd_sum, cat.grav, output, velocities, cat.kepler_iters,
-                engine, steps, layout)
+                engine, steps, layout, window)
     else:
         # minutes since each satellite's epoch — computed with the
         # jd/fr split so the subtraction happens at epoch-difference

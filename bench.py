@@ -180,13 +180,21 @@ def main():
         fetch([last])
         return time.perf_counter() - t0
 
-    t_small = run_reps(2)
-    t_big = run_reps(6)
-    elapsed = (t_big - t_small) / 4
-    if elapsed <= 0:
-        # tunnel jitter can make the longer batch measure faster; fall
-        # back to the conservative total-time estimate (includes the
-        # fixed dispatch/fetch overhead)
+    # best-of-3 slope pairs: the tunnel to the dev chip stalls for
+    # hundreds of ms at random (measured rate swings 1.3-1.7G within
+    # minutes on identical code); the least-stalled window is the
+    # honest device rate. Each pair still uses the slope method so
+    # fixed dispatch/fetch overhead cancels.
+    elapsed = None
+    for _ in range(3):
+        t_small = run_reps(2)
+        t_big = run_reps(6)
+        e = (t_big - t_small) / 4
+        if e > 0 and (elapsed is None or e < elapsed):
+            elapsed = e
+    if elapsed is None:
+        # every pair was jitter-inverted; fall back to the conservative
+        # total-time estimate (includes fixed overhead)
         elapsed = t_big / 6
 
     props = N_SATS * N_TIMES * INNER_REPS

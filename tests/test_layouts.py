@@ -148,28 +148,28 @@ def test_pallas_pad_lanes_finite_and_trimmed():
                                        atol=0.05)
             np.testing.assert_array_equal(np.asarray(e), np.asarray(e_ref))
 
-    # separable entry: raw planes are EXACT-shape (boundary-block
-    # stores masked); the benign input-pad values (fields 0.5, simp 1)
-    # must keep the padded lanes' COMPUTATION finite so no NaN can leak
-    # through fused ops into real lanes
+    # separable entry: raw grouped planes are EXACT-shape
+    # (boundary-block stores masked); the benign input-pad values
+    # (fields 0.5, simp 1) must keep the padded lanes' COMPUTATION
+    # finite so no NaN can leak through fused ops into real lanes
     t_time = jnp.linspace(0.0, 720.0, 3, dtype=jnp.float64)
     t_sat = jnp.zeros(1, jnp.float64)
-    planes = propagate_fast_pallas_sep(
+    r3, v3, errp = propagate_fast_pallas_sep(
         cat.els, t_time, t_sat, cat.grav, kepler_iters=5, time_block=8,
         sat_block=128, interpret=True, planes=True)
-    assert planes[0].shape == (3, 1)  # exact, not padded
-    for p in planes[:-1]:
+    assert r3.shape == (3, 3, 1)  # grouped (3, T, S), exact not padded
+    for p in (r3, v3):
         assert np.isfinite(np.asarray(p)).all(), "planes went non-finite"
     np.testing.assert_allclose(
-        np.stack([np.asarray(p, np.float64) for p in planes[:3]], -1),
+        np.moveaxis(np.asarray(r3, np.float64), 0, -1),
         np.asarray(r_ref, np.float64), atol=0.05)
 
     # deep kernel planes (zero pad coeffs + nm=0 pad -> flagged, not NaN)
     deep_cat = build_catalog("\n".join([GEO_L1, GEO_L2]))
-    planes_d = propagate_deep_pallas(
+    dr3, dv3, derr = propagate_deep_pallas(
         deep_cat.els_deep, deep_cat.deep_sub, t, deep_cat.grav,
         resonance_steps=4, time_block=8, sat_block=128, interpret=True,
         planes=True)
-    assert planes_d[0].shape == (3, 1)
-    for p in planes_d[:-1]:
+    assert dr3.shape == (3, 3, 1)
+    for p in (dr3, dv3):
         assert np.isfinite(np.asarray(p)).all(), "deep planes non-finite"
