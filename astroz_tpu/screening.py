@@ -191,6 +191,24 @@ def _refine_pairs(r, ii, jj, pad: int):
     return d.min(axis=0), d.argmin(axis=0)
 
 
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_mask(mask, cap: int):
+    """Fixed-cap on-device index compaction of a boolean matrix:
+    returns the (row, col) indices of up to ``cap`` True entries
+    (fill -1). The host then receives O(candidates) index bytes instead
+    of the O(N*B) boolean matrix (VERDICT r2 #4; reference result cap:
+    conjunction.zig:133)."""
+    ii, jj = jnp.nonzero(mask, size=cap, fill_value=-1)
+    return ii.astype(jnp.int32), jj.astype(jnp.int32)
+
+
+def _cap_bucket(count: int, floor: int = 1 << 10) -> int:
+    """Round a candidate count up to a power of two so the static-cap
+    compaction program compiles O(log) distinct shapes."""
+    c = max(int(count), 1)
+    return max(floor, 1 << (c - 1).bit_length())
+
+
 def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
                block: int = 2048, method: str = "fast",
                max_pairs: int = 10_000_000, mesh=None):
@@ -226,10 +244,19 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
             dmin = _coarse_block_min_sharded(r, rsq, j0, block, mesh)
         else:
             dmin = _coarse_block_min(r, rsq, j0, block)
-        # threshold on device: fetching the boolean mask moves 4x
-        # fewer bytes than the f32 distance matrix
-        ii, jj = np.nonzero(np.asarray(dmin <= thr2))
-        jj = jj + j0
+        # candidate compaction ON DEVICE: count (one scalar fetch),
+        # then a fixed-cap nonzero — the host receives O(candidates)
+        # index bytes, never the (N, block) boolean matrix (~27 MB per
+        # block at 13.5k sats, ~2.5 GB total at 50k debris scale)
+        mask = dmin <= thr2
+        count = int(mask.sum())
+        if count == 0:
+            continue
+        cap = _cap_bucket(min(count, mask.size))
+        ii, jj = (np.asarray(x) for x in _compact_mask(mask, cap))
+        ii, jj = ii[:count], jj[:count]
+        jj = jj.astype(np.int64) + j0
+        ii = ii.astype(np.int64)
         keep = ii < jj  # dedup + self
         cand_i.append(ii[keep])
         cand_j.append(jj[keep])
@@ -321,6 +348,40 @@ def _ring_screen_fn(mesh1, B: int):
     return jax.jit(mapped)
 
 
+@_functools.lru_cache(maxsize=8)
+def _ring_counts_fn(mesh1):
+    """Shard-local hit counts: (D, D, B, B) sharded bool -> (D,) int32
+    without gathering the tensor."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(h):
+        return h.sum(dtype=jnp.int32).reshape(1)
+
+    mapped = shard_map(fn, mesh=mesh1, in_specs=(P("sats"),),
+                       out_specs=P("sats"), check_vma=False)
+    return jax.jit(mapped)
+
+
+@_functools.lru_cache(maxsize=8)
+def _ring_compact_fn(mesh1, cap: int):
+    """Shard-local fixed-cap index compaction: each device flattens its
+    own (1, D, B, B) hit block and emits up to ``cap`` flat indices
+    (fill -1) -> global (D, cap)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(h):
+        flat = h.reshape(-1)
+        dt = jnp.int64 if flat.size >= 2 ** 31 else jnp.int32
+        (idx,) = jnp.nonzero(flat, size=cap, fill_value=-1)
+        return idx.astype(dt)[None]
+
+    mapped = shard_map(fn, mesh=mesh1, in_specs=(P("sats"),),
+                       out_specs=P("sats"), check_vma=False)
+    return jax.jit(mapped)
+
+
 def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
                     threshold_km: float = 5.0, mesh, method: str = "fast",
                     max_pairs: int = 10_000_000):
@@ -383,9 +444,34 @@ def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
     thr2 = jnp.float32(threshold_km * threshold_km + guard)
 
     fn = _ring_screen_fn(mesh1, block)
-    hits = np.asarray(fn(r, rsq, thr2))  # (D, D, B, B) bool
+    hits = fn(r, rsq, thr2)  # (D, D, B, B) bool, SHARDED over axis 0
 
-    me, k, row, col = np.nonzero(hits)
+    # candidate compaction ON DEVICE, shard-local: fetch per-device
+    # counts (D ints), then one fixed-cap nonzero per shard — the host
+    # receives O(candidates) index bytes, never the (D, D, B, B)
+    # boolean tensor (~181 MB at 13.5k sats, ~2.5 GB at 50k)
+    counts = np.asarray(_ring_counts_fn(mesh1)(hits))
+    if counts.max() == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64), np.empty(0, np.int64))
+    cap = _cap_bucket(int(counts.max()))
+    flat_idx = np.asarray(_ring_compact_fn(mesh1, cap)(hits))  # (D, cap)
+
+    me_l, k_l, row_l, col_l = [], [], [], []
+    for me in range(n_dev):
+        c = int(counts[me])
+        if not c:
+            continue
+        k, row, col = np.unravel_index(
+            flat_idx[me, :c].astype(np.int64), (n_dev, block, block))
+        me_l.append(np.full(c, me))
+        k_l.append(k)
+        row_l.append(row)
+        col_l.append(col)
+    me = np.concatenate(me_l)
+    k = np.concatenate(k_l)
+    row = np.concatenate(row_l)
+    col = np.concatenate(col_l)
     ci = me * block + row
     cj = ((me - k) % n_dev) * block + col
     keep = (ci < cj) & (cj < n)
@@ -398,21 +484,33 @@ def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
 
     # refine on the candidate subset only: gather the unique candidate
     # columns (cross-shard gather handled by GSPMD), then exact
-    # direct-difference distances
+    # direct-difference distances — chunks fan out ROUND-ROBIN over the
+    # mesh devices (dispatch is async, so devices refine concurrently;
+    # a dense candidate burst no longer re-centralizes on device 0)
     us, inv = np.unique(np.concatenate([ci, cj]), return_inverse=True)
     ii_l, jj_l = inv[:ci.size], inv[ci.size:]
-    r_sub = jax.device_put(r[:, jnp.asarray(us), :], jax.devices()[0])
+    r_sub_h = r[:, jnp.asarray(us), :]
+    devs = list(mesh.devices.reshape(-1))
+    r_subs = {}
 
-    dmin = np.empty(ci.size, np.float32)
-    tmin = np.empty(ci.size, np.int64)
     chunk_cap = max(1 << 12, (1 << 26) // max(n_times, 1))
-    for c0 in range(0, ci.size, chunk_cap):
+    pending = []
+    for c_idx, c0 in enumerate(range(0, ci.size, chunk_cap)):
         c1 = min(c0 + chunk_cap, ci.size)
         pad = 1 << max(6, math.ceil(math.log2(c1 - c0)))
         ii = np.zeros(pad, np.int64)
         jj = np.zeros(pad, np.int64)
         ii[:c1 - c0], jj[:c1 - c0] = ii_l[c0:c1], jj_l[c0:c1]
-        d, t = _refine_pairs(r_sub, jnp.asarray(ii), jnp.asarray(jj), pad)
+        dev = devs[c_idx % len(devs)]
+        if dev not in r_subs:
+            r_subs[dev] = jax.device_put(r_sub_h, dev)
+        d, t = _refine_pairs(r_subs[dev],
+                             jax.device_put(jnp.asarray(ii), dev),
+                             jax.device_put(jnp.asarray(jj), dev), pad)
+        pending.append((c0, c1, d, t))
+    dmin = np.empty(ci.size, np.float32)
+    tmin = np.empty(ci.size, np.int64)
+    for c0, c1, d, t in pending:
         dmin[c0:c1] = np.asarray(d)[:c1 - c0]
         tmin[c0:c1] = np.asarray(t)[:c1 - c0]
     hit = dmin < threshold_km
