@@ -43,6 +43,25 @@ def main():
     assert not missing, f"missing python-sgp4 attributes: {missing}"
     print(f"attribute surface OK ({len(ATTRS)} attrs)")
 
+    # --- single-point scalar loop (reference: 2.5M props/s on a
+    # ~5 GHz Zen4 through its compiled Python path, README.md:84-86;
+    # here the all-C SatCore path serves the same loop) --------------
+    n_loop = 200_000
+    sat.sgp4(jd, fr)  # builds + binds the native core
+    t0 = time.perf_counter()
+    for _ in range(n_loop):
+        sat.sgp4(jd, fr)
+    per_call = (time.perf_counter() - t0) / n_loop
+    print(f"sat.sgp4() loop:  {1.0 / per_call / 1e6:.2f}M props/s "
+          f"({per_call * 1e9:.0f} ns/call)")
+    if sat._scalar_native is not None:
+        t_arr = np.linspace(0.0, 1440.0, 1_000_000)
+        t0 = time.perf_counter()
+        e_a, r_a, v_a = sat._scalar_native.sgp4_array(t_arr)
+        per_pt = (time.perf_counter() - t0) / t_arr.size
+        print(f"C array loop:     {1.0 / per_pt / 1e6:.2f}M props/s "
+              f"({per_pt * 1e9:.0f} ns/point)")
+
     # --- batch throughput --------------------------------------------
     sats = [Satrec.twoline2rv(LINE1, LINE2, WGS72) for _ in range(n_sats)]
     arr = SatrecArray(sats)

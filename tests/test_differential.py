@@ -151,7 +151,7 @@ def oracle_sweep(fields, times):
     return errs, rs, vs
 
 
-N_SWEEP = 250
+N_SWEEP = 1000
 SWEEP_TIMES = np.linspace(-1440.0, 1440.0, 13)
 
 
@@ -224,5 +224,7 @@ def test_live_python_sgp4():
             e1, r1, v1 = ref.sgp4(jd, fr + dt_min / 1440.0)
             e2, r2, v2 = ours.sgp4(jd, fr + dt_min / 1440.0)
             assert e1 == e2
-            tol = 1e-6 if dt_min == 0.0 else 0.1  # km
+            tol = 1e-6 if dt_min == 0.0 else 0.1       # km
+            tol_v = 1e-8 if dt_min == 0.0 else 1e-4    # km/s
             assert np.linalg.norm(np.subtract(r1, r2)) < tol
+            assert np.linalg.norm(np.subtract(v1, v2)) < tol_v
