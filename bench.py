@@ -186,7 +186,7 @@ def main():
     # honest device rate. Each pair still uses the slope method so
     # fixed dispatch/fetch overhead cancels.
     elapsed = None
-    for _ in range(3):
+    for _ in range(5):
         t_small = run_reps(2)
         t_big = run_reps(6)
         e = (t_big - t_small) / 4
