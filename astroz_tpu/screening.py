@@ -239,11 +239,21 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
 
     cand_i, cand_j = [], []
     n_total = r.shape[1]
-    for j0 in range(0, n_total, block):
+    # single-shot coarse when the full (N, N) bool mask fits device
+    # memory comfortably (<= ~1 GB): one program + one count fetch +
+    # one compaction instead of N/block dispatches with a ~25 ms count
+    # round trip each through a remote-TPU tunnel
+    single_shot = (mesh is None or mesh.devices.size == 1) \
+        and n_total * n_total <= (1 << 30)
+    if single_shot:
+        block_iter = [(0, n_total)]
+    else:
+        block_iter = [(j0, block) for j0 in range(0, n_total, block)]
+    for j0, blk in block_iter:
         if mesh is not None and mesh.devices.size > 1:
-            dmin = _coarse_block_min_sharded(r, rsq, j0, block, mesh)
+            dmin = _coarse_block_min_sharded(r, rsq, j0, blk, mesh)
         else:
-            dmin = _coarse_block_min(r, rsq, j0, block)
+            dmin = _coarse_block_min(r, rsq, j0, blk)
         # candidate compaction ON DEVICE: count (one scalar fetch),
         # then a fixed-cap nonzero — the host receives O(candidates)
         # index bytes, never the (N, block) boolean matrix (~27 MB per
@@ -287,7 +297,11 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
         dmin[c0:c1] = np.asarray(d)[:c1 - c0]
         tmin[c0:c1] = np.asarray(t)[:c1 - c0]
     hit = dmin < threshold_km
-    return ci[hit], cj[hit], dmin[hit].astype(np.float64), tmin[hit]
+    ci, cj = ci[hit], cj[hit]
+    d_out = dmin[hit].astype(np.float64)
+    t_out = tmin[hit]
+    order = np.lexsort((cj, ci))  # deterministic (i, j) order
+    return ci[order], cj[order], d_out[order], t_out[order]
 
 
 # ---------------------------------------------------------------------------
@@ -514,5 +528,8 @@ def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
         dmin[c0:c1] = np.asarray(d)[:c1 - c0]
         tmin[c0:c1] = np.asarray(t)[:c1 - c0]
     hit = dmin < threshold_km
-    return (ci[hit].astype(np.int64), cj[hit].astype(np.int64),
-            dmin[hit].astype(np.float64), tmin[hit])
+    ci, cj = ci[hit].astype(np.int64), cj[hit].astype(np.int64)
+    d_out = dmin[hit].astype(np.float64)
+    t_out = tmin[hit]
+    order = np.lexsort((cj, ci))  # deterministic (i, j) order
+    return ci[order], cj[order], d_out[order], t_out[order]

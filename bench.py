@@ -8,6 +8,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -16,9 +17,10 @@ import numpy as np
 BASELINE_PROPS_PER_S = 303e6  # reference: 16-thread AVX-512 CPU
 N_SATS = 13478
 N_TIMES = 1440
-#: scenario repetitions per dispatched program (1: larger grids trade
-#: dispatch overhead for HBM copy pressure and come out slower)
-INNER_REPS = 1
+#: scenario repetitions per dispatched program (default 1: larger grids
+#: trade dispatch overhead for HBM copy pressure and measured no better;
+#: env-tunable for experiments)
+INNER_REPS = int(os.environ.get("ASTROZ_BENCH_INNER", "1"))
 
 
 def synthetic_catalog_text(n: int) -> str:
