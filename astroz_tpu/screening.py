@@ -239,12 +239,14 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
 
     cand_i, cand_j = [], []
     n_total = r.shape[1]
-    # single-shot coarse when the full (N, N) bool mask fits device
-    # memory comfortably (<= ~1 GB): one program + one count fetch +
-    # one compaction instead of N/block dispatches with a ~25 ms count
-    # round trip each through a remote-TPU tunnel
+    # single-shot coarse for small catalogs (<= 4096 sats): one program
+    # + one count fetch + one compaction instead of N/block dispatches
+    # with a ~25 ms count round trip each through a remote-TPU tunnel.
+    # Larger catalogs keep the blocked pass — the single-shot scan
+    # carries an (N, N) f32 min matrix through every time step, which
+    # past ~4k sats costs more in carry traffic than the round trips.
     single_shot = (mesh is None or mesh.devices.size == 1) \
-        and n_total * n_total <= (1 << 30)
+        and n_total <= 4096
     if single_shot:
         block_iter = [(0, n_total)]
     else:
