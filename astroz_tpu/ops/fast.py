@@ -182,9 +182,16 @@ def _resonance_tables(deep: DeepElements, els: Sgp4Elements, n_steps: int):
                  for rr in rows)
 
 
+#: jitted table builder for catalog-level caching
+#: (propagation.SatCatalog.resonance_tables)
+build_resonance_tables = jax.jit(_resonance_tables,
+                                 static_argnames=("n_steps",))
+
+
 def _resonance_from_tables(deep: DeepElements, els: Sgp4Elements, t,
                            resonance_steps: Optional[int],
-                           resonance_window: Optional[int] = None):
+                           resonance_window: Optional[int] = None,
+                           tables=None):
     """Table-form resonance integration: integrate the 720-min
     Euler-Maclaurin recurrence ONCE per satellite (see
     :func:`_resonance_tables`), then each grid point selects its step
@@ -199,7 +206,11 @@ def _resonance_from_tables(deep: DeepElements, els: Sgp4Elements, t,
     """
     f64 = els.no_kozai.dtype
     n_steps = resonance_steps if resonance_steps is not None else 64
-    tables = _resonance_tables(deep, els, n_steps)
+    if tables is None:
+        # built in-program; callers with repeated sweeps pass the
+        # catalog-cached tables instead (SatCatalog.resonance_tables)
+        # so the sequential O(horizon/720) scan runs once per catalog
+        tables = _resonance_tables(deep, els, n_steps)
     shape = jnp.broadcast_shapes(jnp.shape(t), deep.xlamo.shape)
     tg = jnp.broadcast_to(t, shape)
     k = jnp.minimum((jnp.abs(tg) // STEPP).astype(jnp.int32),
@@ -946,7 +957,8 @@ def deep_f32_fields(els: Sgp4Elements, deep: DeepElements):
 
 def deep_spine_f64(els: Sgp4Elements, deep: DeepElements, t,
                    resonance_steps: Optional[int] = None,
-                   resonance_window: Optional[int] = None):
+                   resonance_window: Optional[int] = None,
+                   tables=None):
     """The f64 angle spine for an all-deep satellite subset: secular +
     lunisolar-secular angle accumulation and the table-form resonance
     integration, reduced mod 2pi and cast to f32 (the deep analogue of
@@ -965,7 +977,7 @@ def deep_spine_f64(els: Sgp4Elements, deep: DeepElements, t,
 
     resonant = deep.irez != 0
     nm_res, xl = _resonance_from_tables(deep, els, t, resonance_steps,
-                                        resonance_window)
+                                        resonance_window, tables)
     theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
     mm_geo = xl - nodem64 - argpdf + theta
     mm_half = xl - 2.0 * nodem64 + 2.0 * theta

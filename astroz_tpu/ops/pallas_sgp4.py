@@ -420,7 +420,8 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
                           sat_block: int = DEEP_SAT_BLOCK,
                           interpret: bool = False, planes: bool = False,
                           want_vel: bool = True,
-                          resonance_window: Optional[int] = None
+                          resonance_window: Optional[int] = None,
+                          tables=None
                           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Deep-subset dense-grid propagate through the Pallas engine.
 
@@ -439,7 +440,7 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
     # f64 deep spine in XLA (fused), producing six f32 (T, S) grids
     grids = [jnp.broadcast_to(g, (n_times, n_sats))
              for g in deep_spine_f64(els, deep, t, resonance_steps,
-                                     resonance_window)]
+                                     resonance_window, tables)]
 
     fdict = deep_f32_fields(els, deep)
     fields = jnp.stack([fdict[n] for n in DEEP_FIELD_NAMES])

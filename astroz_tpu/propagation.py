@@ -141,6 +141,25 @@ class SatCatalog:
         return t_sat, t_sat_deep, deep_mask, deep_inv
 
     @cached_property
+    def _resonance_tables_cache(self) -> dict:
+        return {}
+
+    def resonance_tables(self, steps: int):
+        """Catalog-cached deep-space resonance integration tables at the
+        given static depth: the sequential O(steps) Euler-Maclaurin scan
+        (ops/fast.py:_resonance_tables) runs ONCE per (catalog, depth)
+        and every subsequent propagate() sweep reuses the device-resident
+        tables — the batch analogue of the reference's carry resuming the
+        integration across calls (Sdp4.zig:160-171)."""
+        tb = self._resonance_tables_cache.get(steps)
+        if tb is None:
+            from .ops.fast import build_resonance_tables
+            tb = build_resonance_tables(self.deep_sub, self.els_deep,
+                                        n_steps=steps)
+            self._resonance_tables_cache[steps] = tb
+        return tb
+
+    @cached_property
     def kepler_iters(self) -> int:
         """Static Newton trip count for the fast SHALLOW kernel: 5
         suffices below e ~ 0.35 (stress-gated in tests/test_fast.py).
@@ -458,7 +477,7 @@ def _shallow_planes(els, t_time, t_sat, grav, kepler_iters, engine,
 
 def _deep_planes(els_deep, deep_sub, tsince_deep, grav, engine,
                  resonance_steps, want_vel: bool,
-                 resonance_window=None):
+                 resonance_window=None, tables=None):
     """Deep-subset kernel on the chosen engine, grouped planes form
     (r3, v3 | None, err) like :func:`_shallow_planes`."""
     if engine == "pallas":
@@ -466,11 +485,12 @@ def _deep_planes(els_deep, deep_sub, tsince_deep, grav, engine,
         outs = propagate_deep_pallas(
             els_deep, deep_sub, tsince_deep, grav,
             resonance_steps=resonance_steps, planes=True,
-            want_vel=want_vel, resonance_window=resonance_window)
+            want_vel=want_vel, resonance_window=resonance_window,
+            tables=tables)
         return _unpack_outs(outs, want_vel)
     from .ops.fast import deep_f32_fields, deep_spine_f64, deep_tail_f32
     spine = deep_spine_f64(els_deep, deep_sub, tsince_deep,
-                           resonance_steps, resonance_window)
+                           resonance_steps, resonance_window, tables)
     return _group_planes(deep_tail_f32(grav, 8, *spine,
                                        want_vel=want_vel,
                                        **deep_f32_fields(els_deep,
@@ -512,7 +532,7 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 kepler_iters: int = 8, engine: str = "xla",
                                 resonance_steps=None,
                                 layout: str = "time_major",
-                                resonance_window=None):
+                                resonance_window=None, tables=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the (static) deep subset, merged
     into the full grid by a per-satellite expansion map
@@ -531,7 +551,7 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
     # in XLA, f32 tail fused), then substituted into the deep columns
     d_r3, d_v3, d_err = _deep_planes(els_deep, deep_sub, tsince_deep,
                                      grav, engine, resonance_steps,
-                                     want_vel, resonance_window)
+                                     want_vel, resonance_window, tables)
     r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
                                   engine, want_vel)
     m = deep_mask[None, :]
@@ -651,7 +671,8 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                 cat.els, cat.els_deep, cat.deep_sub,
                 deep_mask, deep_inv, t_time, t_sat, t_sat_deep,
                 jd_sum, cat.grav, output, velocities, cat.kepler_iters,
-                engine, steps, layout, window)
+                engine, steps, layout, window,
+                cat.resonance_tables(steps))
     else:
         # minutes since each satellite's epoch — computed with the
         # jd/fr split so the subtraction happens at epoch-difference

@@ -403,3 +403,18 @@ class TestResonanceWindow:
         dr = np.linalg.norm(np.asarray(r_fast, np.float64)
                             - np.asarray(r_f64, np.float64), axis=-1)
         assert dr.max() < 2.0, dr.max()  # km, 1-year f32-tail budget
+
+
+def test_resonance_tables_catalog_cache():
+    """SatCatalog.resonance_tables builds once per (catalog, depth) and
+    feeds the fast path (propagate results already gated elsewhere)."""
+    from test_sdp4 import GEO_L1, GEO_L2
+    from astroz_tpu import build_catalog
+
+    cat = build_catalog("\n".join([GEO_L1, GEO_L2]))
+    t1 = cat.resonance_tables(8)
+    t2 = cat.resonance_tables(8)
+    assert all(a is b for a, b in zip(t1, t2))  # cached, not rebuilt
+    assert t1[0].shape == (2 * 9, 1)
+    t3 = cat.resonance_tables(16)
+    assert t3[0].shape == (2 * 17, 1)
