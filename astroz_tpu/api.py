@@ -384,6 +384,29 @@ class SatrecArray:
             return e, r, v
         return e, r
 
+    def sgp4_into(self, jd: np.ndarray, fr: np.ndarray,
+                  r_out: np.ndarray, v_out: Optional[np.ndarray] = None,
+                  e_out: Optional[np.ndarray] = None) -> None:
+        """Propagate into caller-provided numpy buffers (the reference's
+        into-buffer path, ``SatrecArray.propagate_into`` /
+        ``sgp4_array_into``, satrec.zig:896-988).
+
+        ``r_out``/``v_out`` must be ``(n_sats, n_times, 3)`` float64 and
+        ``e_out`` ``(n_sats, n_times)`` — results are copied host-side
+        into them (the device result crosses to the host exactly once;
+        TPU memory is not host-mappable, so a literal zero-copy into a
+        user buffer does not exist on this backend)."""
+        from .propagation import propagate
+        r, v, err = propagate(self._cat, np.asarray(jd, np.float64),
+                              np.asarray(fr, np.float64),
+                              velocities=v_out is not None,
+                              layout="sat_major", method=self._method)
+        np.copyto(r_out, np.asarray(r))
+        if v_out is not None:
+            np.copyto(v_out, np.asarray(v))
+        if e_out is not None:
+            np.copyto(e_out, np.asarray(err))
+
 
 # ---------------------------------------------------------------------------
 # astrojax-compatible functional surface

@@ -177,3 +177,24 @@ def test_create_sgp4_propagator_astrojax_style():
     _, r0, v0 = sat.sgp4_tsince(720.0)
     d = np.linalg.norm(np.asarray(r)[2] - np.asarray(r0))
     assert d < 1e-6, d  # both f64 paths; agreement to numerical noise
+
+
+def test_satrec_array_sgp4_into():
+    """Into-buffer parity path (reference satrec.zig:896-988)."""
+    from test_sgp4 import ISS_L1, ISS_L2, TRAJ_L1, TRAJ_L2
+    from astroz_tpu.api import Satrec, SatrecArray
+
+    sats = [Satrec.twoline2rv(ISS_L1, ISS_L2),
+            Satrec.twoline2rv(TRAJ_L1, TRAJ_L2)]
+    arr = SatrecArray(sats)
+    jd = np.full(5, sats[0].jdsatepoch)
+    fr = sats[0].jdsatepochF + np.linspace(0.0, 1.0, 5)
+    e_ref, r_ref, v_ref = arr.sgp4(jd, fr)
+
+    r_out = np.zeros((2, 5, 3))
+    v_out = np.zeros((2, 5, 3))
+    e_out = np.zeros((2, 5), np.int32)
+    arr.sgp4_into(jd, fr, r_out, v_out, e_out)
+    np.testing.assert_array_equal(r_out, r_ref)
+    np.testing.assert_array_equal(v_out, v_ref)
+    np.testing.assert_array_equal(e_out, e_ref)
