@@ -23,6 +23,7 @@ _SO = os.path.join(_DIR, "libastroz_native.so")
 _SRC = os.path.join(_DIR, "tle_parser.cpp")
 _SRC2 = os.path.join(_DIR, "frame_scanner.cpp")
 _SRC3 = os.path.join(_DIR, "scalar_sgp4.cpp")
+_SRC4 = os.path.join(_DIR, "c_api.cpp")
 _SRC_EXT = os.path.join(_DIR, "scalar_ext.c")
 _EXT_SO = os.path.join(_DIR, "_astroz_scalar.so")
 _LOCK = threading.Lock()
@@ -37,7 +38,9 @@ def _build() -> bool:
     missing. Returns True on success."""
     try:
         src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
-                        os.path.getmtime(_SRC3))
+                        os.path.getmtime(_SRC3), os.path.getmtime(_SRC4),
+                        os.path.getmtime(os.path.join(_DIR,
+                                                      "scalar_fields.h")))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
             return True
         # -fno-math-errno: no errno bookkeeping around sqrt/sin/cos ->
@@ -46,7 +49,7 @@ def _build() -> bool:
         # the .so is a per-machine build artifact (gitignored)
         flags = ["-O3", "-march=native", "-fno-math-errno", "-shared",
                  "-fPIC"]
-        cmd = ["g++", *flags, "-std=c++17", _SRC, _SRC2, _SRC3,
+        cmd = ["g++", *flags, "-std=c++17", _SRC, _SRC2, _SRC3, _SRC4,
                "-o", _SO]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         # the CPython extension for the per-call scalar path (optional:

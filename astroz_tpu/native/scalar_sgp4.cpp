@@ -11,31 +11,11 @@
 
 #include <cmath>
 
+#include "scalar_fields.h"  // packed field-vector layout (enum F)
+
 namespace {
 
 constexpr double TWOPI = 6.283185307179586476925286766559;
-
-// Field-vector layout: MUST match _SCALAR_FIELDS in
-// astroz_tpu/native/__init__.py (packed by api.Satrec).
-enum F {
-  RADIUSEARTHKM, XKE, J2, J3OJ2,
-  MO, MDOT, ARGPO, ARGPDOT, NODEO, NODEDOT, NODECF,
-  CC1, BSTAR, CC4, T2COF, ISIMP, OMGCOF, ETA,
-  XMCOF, DELMO, SINMAO, D2, D3, D4, CC5,
-  T3COF, T4COF, T5COF, NO_UNKOZAI, ECCO, INCLO,
-  DEEP, AYCOF, XLCOF, CON41, X1MTH2, X7THM1,
-  GSTO, DEDT, DIDT, DOMDT, DNODT, DMDT, IREZ,
-  XLAMO, DEL1, DEL2, DEL3, XFACT,
-  D2201, D2211, D3210, D3222, D4410, D4422,
-  D5220, D5232, D5421, D5433,
-  ZMOS, ZMOL,
-  SE2, SE3, SI2, SI3, SL2, SL3, SL4,
-  SGH2, SGH3, SGH4, SH2, SH3,
-  EE2, E3, XI2, XI3, XL2, XL3, XL4,
-  XGH2, XGH3, XGH4, XH2, XH3,
-  PEO, PINCO, PLO, PGHO, PHO,
-  N_FIELDS
-};
 
 // dspace: resonance integration + deep secular (ops/scalar.py:511-596)
 void dspace(const double* s, double t, double& em, double& argpm,
