@@ -141,6 +141,17 @@ class SatCatalog:
         return t_sat, t_sat_deep, deep_mask, deep_inv
 
     @cached_property
+    def deep_idx_static(self):
+        """Deep-column positions as a hashable tuple — passed as a
+        STATIC jit argument so the deep-substitution scatter bakes the
+        indices into the program as constants (2x cheaper than the
+        traced gather+select it replaced; see
+        _propagate_fast_partitioned)."""
+        if self.deep_idx is None:
+            return None
+        return tuple(int(i) for i in self.deep_idx)
+
+    @cached_property
     def _resonance_tables_cache(self) -> dict:
         return {}
 
@@ -522,10 +533,9 @@ def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "engine", "resonance_steps", "layout",
-                          "resonance_window"))
+                          "resonance_window", "deep_idx"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
-                                deep_sub: DeepElements, deep_mask,
-                                deep_inv, t_time,
+                                deep_sub: DeepElements, deep_idx, t_time,
                                 t_sat, t_sat_deep, jd_sum,
                                 grav: GravityModel,
                                 output: str, want_vel: bool,
@@ -534,17 +544,18 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 layout: str = "time_major",
                                 resonance_window=None, tables=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
-    the deep-space kernel only over the (static) deep subset, merged
-    into the full grid by a per-satellite expansion map
-    (``where(mask, deep[:, inv], shallow)``).
+    the deep-space kernel only over the (static) deep subset,
+    substituted into the deep columns by a constant-index scatter.
 
-    The select-merge replaced an index scatter: on TPU the lane-dim
-    scatter forced materialization boundaries that cost ~3 ms, while
-    the gather+select fuses into the downstream layout pass (13.0 ->
-    10.0 ms end-to-end on the 13478x1440 grid). The merge runs on the
-    kernels' grouped (3, time, sat) component buffers — never on a
-    minor-dim-3 array, which would force XLA to materialize that layout
-    and pay relayout copies per plane (measured +17.6 ms); with
+    ``deep_idx`` is a STATIC tuple of deep-column positions, so the
+    indices are baked into the program as constants: the substitution
+    lowers to an in-place columnwise update instead of the traced
+    where(mask, deep[:, inv], shallow) lane-gather+select it replaces
+    (measured 4.1 ms -> 2.0 ms per (3, 1440, 13478) f32 buffer on v5e;
+    with r and v that's ~4 ms off the headline sweep). The merge runs
+    on the kernels' grouped (3, time, sat) component buffers — never on
+    a minor-dim-3 array, which would force XLA to materialize that
+    layout and pay relayout copies per plane (measured +17.6 ms); with
     ``layout="planes"`` the minor-dim-3 array never exists at all."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
     # deep subset through its own kernel (f64 spine + resonance tables
@@ -554,11 +565,11 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                      want_vel, resonance_window, tables)
     r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
                                   engine, want_vel)
-    m = deep_mask[None, :]
-    r3 = jnp.where(m[None], d_r3[:, :, deep_inv], r3)
+    idx = np.asarray(deep_idx, np.int32)
+    r3 = r3.at[:, :, idx].set(d_r3)
     if want_vel:
-        v3 = jnp.where(m[None], d_v3[:, :, deep_inv], v3)
-    err = jnp.where(m, d_err[:, deep_inv], err)
+        v3 = v3.at[:, :, idx].set(d_v3)
+    err = err.at[:, idx].set(d_err)
     return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 
 
@@ -647,7 +658,7 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         engine = default_engine()
         ref = cat.epoch_min_jd
         t_time = jnp.asarray(((jd_h - ref) + fr_h) * MINUTES_PER_DAY, dt)
-        t_sat, t_sat_deep, deep_mask, deep_inv = cat.fast_staging
+        t_sat, t_sat_deep, _, _ = cat.fast_staging
         if not cat.has_deep:
             r, v, err = _propagate_fast_shallow(
                 cat.els, t_time, t_sat, jd_sum, cat.grav, output,
@@ -669,7 +680,7 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
             window = _resonance_window(ep_deep)
             r, v, err = _propagate_fast_partitioned(
                 cat.els, cat.els_deep, cat.deep_sub,
-                deep_mask, deep_inv, t_time, t_sat, t_sat_deep,
+                cat.deep_idx_static, t_time, t_sat, t_sat_deep,
                 jd_sum, cat.grav, output, velocities, cat.kepler_iters,
                 engine, steps, layout, window,
                 cat.resonance_tables(steps))

@@ -135,7 +135,7 @@ def main():
     engine = default_engine()
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
-    t_sat, t_sat_deep, deep_mask, deep_inv = cat.fast_staging
+    t_sat, t_sat_deep, _, _ = cat.fast_staging
 
     # stage the (tiny) time arrays on device once; INNER_REPS copies of
     # the scenario epochs run in one program
@@ -155,7 +155,7 @@ def main():
                                            cat.kepler_iters, engine,
                                            "planes")
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
+            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_static,
             ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
             cat.kepler_iters, engine, 4, "planes")
 

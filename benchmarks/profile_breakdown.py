@@ -47,7 +47,7 @@ def main():
 
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
-    t_sat, t_sat_deep, deep_mask, deep_inv = cat.fast_staging
+    t_sat, t_sat_deep, _, _ = cat.fast_staging
     deep_idx = jnp.asarray(cat.deep_idx)
     ts = jax.device_put(jnp.asarray(tsince_all))
     js = jax.device_put(jnp.asarray(jd_sum)[:, None])
@@ -82,7 +82,7 @@ def main():
     # B: full partitioned current path
     def run_b():
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
+            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_static,
             ts, t_sat,
             t_sat_deep, js, cat.grav, "teme", True, cat.kepler_iters,
             engine, 4)
@@ -123,7 +123,7 @@ def main():
 
         def run_e():
             return _propagate_fast_partitioned(
-                cat.els, cat.els_deep, cat.deep_sub, deep_mask, deep_inv,
+                cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_static,
                 tsk, t_sat,
                 t_sat_deep, jsk, cat.grav, "teme", True, cat.kepler_iters,
                 engine, 4)
