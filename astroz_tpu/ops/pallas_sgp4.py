@@ -480,3 +480,259 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
     if planes:
         return outs
     return _assemble(outs, n_times, n_sats, want_vel)
+
+
+# ---------------------------------------------------------------------------
+# Fused deep merge: the mixed-catalog substitution WITHOUT an XLA scatter.
+#
+# The partitioned fast path (propagation._propagate_fast_partitioned)
+# must replace the deep-space columns of the shallow kernel's output
+# with the deep kernel's results. An XLA scatter over ~5% of 13k
+# columns costs 3-5 ms per sweep on v5e regardless of formulation
+# (static/dynamic indices, select-gather, donated split — all A/B'd
+# in-program); scattered 4-byte column writes are simply hostile to the
+# memory system, in any axis orientation.
+#
+# This path removes the scatter entirely (reference analogue: the
+# origIndices scatter maps the reference bakes into its batch packing,
+# Constellation.zig:129-184 — here the "scatter map" becomes a one-hot
+# operand baked at catalog build time):
+#
+#   1. The deep subset is PERMUTED (at catalog staging, statically)
+#      into block-compacted order: one K-wide group of lanes per
+#      sat-block of the shallow kernel, K = max deep count per block
+#      rounded up to the MXU contraction quantum (128). The deep kernel
+#      writes its planes directly in this (n_blocks, C, T, K) layout —
+#      no reshuffle ever happens on the big buffers.
+#   2. The shallow kernel's epilogue substitutes the deep results
+#      before its own store: dexp = (K, sat_block) one-hot matmul on
+#      the MXU, merged = vals * keep + dexp. The one-hot has exactly
+#      one 1 per deep column, so the matmul IS a scatter — running on
+#      the matrix unit at ~0.1 ms instead of 3-5 ms.
+#
+# Exactness: f32 deep values are split into THREE bf16 terms
+# (hi/mid/lo — 8+8+8 >= 24 significand bits) and pushed through three
+# one-hot matmuls accumulated in f32; with a single nonzero per output
+# column there is no summation, so the f32 value reconstructs exactly
+# (at most 1 ulp from the two final adds — sub-mm at GEO radius).
+# Error codes are small ints (exact in bf16's hi term alone).
+# ---------------------------------------------------------------------------
+
+
+def build_merge_staging(deep_idx, n_sats: int, sat_block: int = SAT_BLOCK,
+                        k_quantum: int = 128):
+    """Static per-sat-block compaction maps for the fused deep merge.
+
+    Pure numpy (runs once per catalog). Returns ``(perm, onehot, keep,
+    K)``:
+
+    * ``perm (n_blocks * K,) i32`` — deep-subset row index feeding lane
+      ``(j, k)`` of the block-compacted deep kernel; pad lanes clamp to
+      row 0 (their one-hot columns are all-zero, so their values never
+      reach the output — clamping just keeps the pad math finite).
+    * ``onehot (n_blocks, K, sat_block) f32`` — ``onehot[j, k, l] = 1``
+      iff block ``j``'s ``k``-th deep member sits at in-block column
+      ``l`` (cast to bf16 at staging; 0/1 are exact).
+    * ``keep (n_blocks, 1, sat_block) f32`` — 0 on deep columns, 1
+      elsewhere (pad columns of the last partial block count as kept).
+    * ``K`` — static compaction width, a multiple of ``k_quantum``.
+    """
+    import numpy as np
+
+    n_blocks = -(-n_sats // sat_block)
+    idx = np.asarray(deep_idx, np.int64)
+    blk = idx // sat_block
+    counts = np.bincount(blk, minlength=n_blocks)
+    kmax = int(counts.max()) if idx.size else 1
+    K = k_quantum * max(1, -(-kmax // k_quantum))
+    perm = np.zeros((n_blocks, K), np.int32)
+    onehot = np.zeros((n_blocks, K, sat_block), np.float32)
+    keep = np.ones((n_blocks, 1, sat_block), np.float32)
+    fill = np.zeros(n_blocks, np.int64)
+    for slot, col in enumerate(idx):
+        j = int(col) // sat_block
+        k = int(fill[j])
+        fill[j] += 1
+        perm[j, k] = slot
+        onehot[j, k, int(col) % sat_block] = 1.0
+        keep[j, 0, int(col) % sat_block] = 0.0
+    return perm.reshape(-1), onehot, keep, K
+
+
+def _merge_vals(vals, dr, dv, de, onehot, keep):
+    """Substitute deep-column results into a shallow tail's outputs.
+
+    ``dr``/``dv`` (3, tb, K) f32, ``de`` (tb, K) f32, ``onehot``
+    (K, sb) bf16, ``keep`` (sb,) f32. The one-hot matmul IS the
+    scatter: each deep column receives exactly one product per term
+    (no summation), and the THREE-term bf16 split (hi + mid + lo
+    captures 8+8+8 >= 24 significand bits) reconstructs the f32 value
+    exactly (the final two f32 adds can round at most 1 ulp); error
+    codes are small ints — bf16-exact in the hi term alone."""
+    tb, K = de.shape
+    planes = [dr.reshape(3 * tb, K)]
+    if dv is not None:
+        planes.append(dv.reshape(3 * tb, K))
+    planes.append(de.reshape(tb, K))
+    d = jnp.concatenate(planes, axis=0)
+    hi = d.astype(jnp.bfloat16)
+    r1 = d - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    dexp = (jnp.dot(hi, onehot, preferred_element_type=jnp.float32)
+            + jnp.dot(mid, onehot, preferred_element_type=jnp.float32)
+            + jnp.dot(lo, onehot, preferred_element_type=jnp.float32))
+    nrv = dexp.shape[0] - tb
+    rv = dexp[:nrv].reshape(nrv // tb, tb, onehot.shape[1])
+    eexp = dexp[nrv:]
+    out = [vals[p] * keep + rv[p] for p in range(nrv // tb)]
+    err = jnp.where(keep == 0.0, eexp.astype(jnp.int32), vals[-1])
+    return tuple(out) + (err,)
+
+
+def _kernel_fused_sep_merge(grav, kepler_iters, want_vel, ah_ref, al_ref,
+                            fields_ref, simp_ref, err0_ref, *rest):
+    if want_vel:
+        dr_ref, dv_ref, de_ref, oh_ref, keep_ref, *out_refs = rest
+    else:
+        dr_ref, de_ref, oh_ref, keep_ref, *out_refs = rest
+        dv_ref = None
+    sf = {name: fields_ref[i, :] for i, name in
+          enumerate(SPINE_FIELD_NAMES)}
+    off = len(SPINE_FIELD_NAMES)
+    f = {name: fields_ref[off + i, :] for i, name in
+         enumerate(_FIELD_NAMES)}
+    nf = off + len(_FIELD_NAMES)
+    bh = fields_ref[nf, :]
+    bl = fields_ref[nf + 1, :]
+    f["not_simp"] = simp_ref[0, :] == 0
+    f["error0"] = err0_ref[0, :]
+    th, tl = df_add(ah_ref[:], al_ref[:], -bh, -bl)
+    spine = spine_df32(th, tl, **sf)
+    vals = shallow_tail_f32(grav, kepler_iters, *spine,
+                            want_vel=want_vel, **f)
+    merged = _merge_vals(vals, dr_ref[:],
+                         dv_ref[:] if want_vel else None, de_ref[:],
+                         oh_ref[0], keep_ref[0, 0])
+    _store(out_refs, merged)
+
+
+@functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
+                                             "time_block", "sat_block",
+                                             "interpret", "planes",
+                                             "want_vel"))
+def propagate_fast_pallas_sep_merge(els: Sgp4Elements, t_time, t_sat,
+                                    grav: GravityModel, dr, dv, de,
+                                    onehot, keep, kepler_iters: int = 5,
+                                    time_block: int = TIME_BLOCK,
+                                    sat_block: int = SAT_BLOCK,
+                                    interpret: bool = False,
+                                    planes: bool = False,
+                                    want_vel: bool = True):
+    """The separable-time shallow kernel with the deep-column merge
+    fused into its epilogue (see the module-section comment above).
+
+    ``dr``/``dv`` are the deep kernel's grouped planes ``(3, T,
+    n_blocks * K)`` over the block-compacted (``merge_perm``-ordered)
+    deep subset — group ``j`` occupies the contiguous K-wide column
+    range ``[j*K, (j+1)*K)``, so the per-block deep operand is a plain
+    contiguous block read, never a gather; ``de`` is the matching err
+    plane (any numeric dtype; converted to f32 — codes are small ints,
+    exact). ``onehot`` (n_blocks, K, sat_block) bf16 and ``keep``
+    (n_blocks, 1, sat_block) f32 come from :func:`build_merge_staging`.
+    The grid iterates sat-blocks in the OUTER dimension so the
+    per-block one-hot operand loads once per block, not once per grid
+    step."""
+    t_time = jnp.asarray(t_time)
+    t_sat = jnp.asarray(t_sat)
+    n_times = t_time.shape[0]
+    n_sats = els.no_kozai.shape[0]
+    de = jnp.asarray(de).astype(jnp.float32)
+    ref = jnp.min(t_sat)
+    ah, al = split_f64((t_time - ref).reshape(-1, 1))
+    bh, bl = split_f64(t_sat - ref)
+
+    fdict = dict(spine_df32_fields(els))
+    fdict.update(_shallow_f32_fields(els))
+    fields = jnp.stack([fdict[n] for n in _ALL_FIELDS] + [bh, bl])
+    simp = (~fdict["not_simp"]).astype(jnp.int32)[None, :]
+    err0 = fdict["error0"].astype(jnp.int32)[None, :]
+
+    tp = (-n_times) % time_block
+    sp = (-n_sats) % sat_block
+    if tp:
+        ah = jnp.pad(ah, ((0, tp), (0, 0)))
+        al = jnp.pad(al, ((0, tp), (0, 0)))
+    if sp:
+        fields = jnp.pad(fields, ((0, 0), (0, sp)), constant_values=0.5)
+        simp = jnp.pad(simp, ((0, 0), (0, sp)), constant_values=1)
+        err0 = jnp.pad(err0, ((0, 0), (0, sp)))
+    tt, ss = n_times + tp, n_sats + sp
+    n_blocks = ss // sat_block
+    if onehot.shape[0] != n_blocks:
+        raise ValueError("merge staging block count mismatch")
+    if dr.shape[-1] % n_blocks:
+        raise ValueError("deep planes width must be n_blocks * K")
+    k_width = dr.shape[-1] // n_blocks
+    onehot = onehot.astype(jnp.bfloat16)
+    if tp:
+        # the deep planes carry exact T; pad so boundary time blocks
+        # read defined rows (their stores are masked anyway)
+        dr = jnp.pad(dr, ((0, 0), (0, tp), (0, 0)))
+        de = jnp.pad(de, ((0, tp), (0, 0)))
+        if dv is not None:
+            dv = jnp.pad(dv, ((0, 0), (0, tp), (0, 0)))
+
+    def col_map(j, i):
+        return (i - i, j)
+
+    def time_map(j, i):
+        return (i, j - j)
+
+    def blk_map3(j, i):
+        return (j, i - i, i - i)
+
+    deep_rv_spec = pl.BlockSpec((3, time_block, k_width),
+                                lambda j, i: (i - i, i, j),
+                                memory_space=pltpu.VMEM)
+    deep_e_spec = pl.BlockSpec((time_block, k_width),
+                               lambda j, i: (i, j),
+                               memory_space=pltpu.VMEM)
+    rv_out = pl.BlockSpec((3, time_block, sat_block),
+                          lambda j, i: (i - i, i, j),
+                          memory_space=pltpu.VMEM)
+    e_out = pl.BlockSpec((time_block, sat_block), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM)
+    in_specs = ([pl.BlockSpec((time_block, 1), time_map,
+                              memory_space=pltpu.VMEM)] * 2
+                + [pl.BlockSpec((len(_ALL_FIELDS) + 2, sat_block),
+                                col_map, memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, sat_block), col_map,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, sat_block), col_map,
+                                memory_space=pltpu.VMEM),
+                   deep_rv_spec]
+                + ([deep_rv_spec] if want_vel else [])
+                + [deep_e_spec,
+                   pl.BlockSpec((1, k_width, sat_block), blk_map3,
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, sat_block), blk_map3,
+                                memory_space=pltpu.VMEM)])
+    grid_spec = pl.GridSpec(
+        grid=(ss // sat_block, tt // time_block),
+        in_specs=in_specs,
+        out_specs=[rv_out, rv_out, e_out] if want_vel else [rv_out, e_out],
+    )
+    args = ([ah, al, fields, simp, err0, dr]
+            + ([dv] if want_vel else []) + [de, onehot, keep])
+    with no_barriers():
+        outs = pl.pallas_call(
+            functools.partial(_kernel_fused_sep_merge, grav,
+                              kepler_iters, want_vel),
+            out_shape=_out_shapes(n_times, n_sats, want_vel),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(*args)
+    if planes:
+        return outs
+    return _assemble(outs, n_times, n_sats, want_vel)

@@ -142,14 +142,68 @@ class SatCatalog:
 
     @cached_property
     def deep_idx_static(self):
-        """Deep-column positions as a hashable tuple — passed as a
-        STATIC jit argument so the deep-substitution scatter bakes the
-        indices into the program as constants (2x cheaper than the
-        traced gather+select it replaced; see
-        _propagate_fast_partitioned)."""
+        """Deep-column positions as a hashable tuple (host-side uses)."""
         if self.deep_idx is None:
             return None
         return tuple(int(i) for i in self.deep_idx)
+
+    @cached_property
+    def deep_idx_dev(self):
+        """Deep-column positions as a device-resident i32 array — the
+        TRACED scatter-index argument of _propagate_fast_partitioned
+        (one tiny transfer per catalog, not per call; traced beats
+        constant-baked indices by ~1.5 ms/sweep on v5e, see the
+        partitioned docstring)."""
+        if self.deep_idx is None:
+            return None
+        return jax.device_put(jnp.asarray(self.deep_idx, jnp.int32))
+
+    @cached_property
+    def merge_staging(self):
+        """Static per-sat-block deep-merge staging for the fused Pallas
+        merge (ops/pallas_sgp4.build_merge_staging): ``(onehot_dev,
+        keep_dev, K, els_deep_p, deep_sub_p, t_sat_deep_p)`` — the
+        one-hot/keep operands plus the deep subset PRE-PERMUTED into
+        block-compacted order, all staged once per catalog (the ~100
+        tiny per-leaf gathers measured ~3 ms/sweep when left inside the
+        per-sweep program). ``None`` for pure near-earth catalogs or
+        when the deep fraction is so large that block compaction
+        degenerates (K > 256; the scatter path handles those)."""
+        if self.deep_idx is None:
+            return None
+        from .ops.pallas_sgp4 import SAT_BLOCK, build_merge_staging
+        perm, onehot, keep, k_width = build_merge_staging(
+            self.deep_idx, len(self), SAT_BLOCK)
+        if k_width > 256:
+            return None
+        perm = np.asarray(perm)
+        _, t_sat_deep, _, _ = self.fast_staging
+
+        @jax.jit
+        def permute(els_deep, deep_sub, tsd):
+            def take(x):
+                return x[perm] if getattr(x, "ndim", 0) else x
+            return (jax.tree_util.tree_map(take, els_deep),
+                    jax.tree_util.tree_map(take, deep_sub), tsd[perm])
+
+        els_p, deep_p, tsd_p = permute(self.els_deep, self.deep_sub,
+                                       t_sat_deep)
+        return (jax.device_put(jnp.asarray(onehot, jnp.bfloat16)),
+                jax.device_put(jnp.asarray(keep, jnp.float32)),
+                k_width, els_p, deep_p, tsd_p)
+
+    def resonance_tables_packed(self, steps: int):
+        """Resonance tables built directly on the block-compacted
+        (merge_staging-ordered) deep subset — cached like
+        :meth:`resonance_tables`."""
+        key = ("packed", steps)
+        tb = self._resonance_tables_cache.get(key)
+        if tb is None:
+            from .ops.fast import build_resonance_tables
+            _, _, _, els_p, deep_p, _ = self.merge_staging
+            tb = build_resonance_tables(deep_p, els_p, n_steps=steps)
+            self._resonance_tables_cache[key] = tb
+        return tb
 
     @cached_property
     def _resonance_tables_cache(self) -> dict:
@@ -533,7 +587,7 @@ def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "engine", "resonance_steps", "layout",
-                          "resonance_window", "deep_idx"))
+                          "resonance_window"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 deep_sub: DeepElements, deep_idx, t_time,
                                 t_sat, t_sat_deep, jd_sum,
@@ -544,19 +598,20 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 layout: str = "time_major",
                                 resonance_window=None, tables=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
-    the deep-space kernel only over the (static) deep subset,
-    substituted into the deep columns by a constant-index scatter.
+    the deep-space kernel only over the deep subset, substituted into
+    the deep columns by a scatter.
 
-    ``deep_idx`` is a STATIC tuple of deep-column positions, so the
-    indices are baked into the program as constants: the substitution
-    lowers to an in-place columnwise update instead of the traced
-    where(mask, deep[:, inv], shallow) lane-gather+select it replaces
-    (measured 4.1 ms -> 2.0 ms per (3, 1440, 13478) f32 buffer on v5e;
-    with r and v that's ~4 ms off the headline sweep). The merge runs
-    on the kernels' grouped (3, time, sat) component buffers — never on
-    a minor-dim-3 array, which would force XLA to materialize that
-    layout and pay relayout copies per plane (measured +17.6 ms); with
-    ``layout="planes"`` the minor-dim-3 array never exists at all."""
+    ``deep_idx`` is a TRACED i32 array of deep-column positions
+    (``SatCatalog.deep_idx_dev`` keeps it device-resident). Traced
+    indices make XLA emit one real scatter op; baking them in as
+    constants lowered to an unrolled update chain measured ~1.5 ms
+    SLOWER per sweep on v5e (in-program A/B across static/dynamic/
+    select-gather/split-donated formulations — dynamic scatter won).
+    The merge runs on the kernels' grouped (3, time, sat) component
+    buffers — never on a minor-dim-3 array, which would force XLA to
+    materialize that layout and pay relayout copies per plane (measured
+    +17.6 ms); with ``layout="planes"`` the minor-dim-3 array never
+    exists at all."""
     tsince_deep = t_time[:, None] - t_sat_deep[None, :]
     # deep subset through its own kernel (f64 spine + resonance tables
     # in XLA, f32 tail fused), then substituted into the deep columns
@@ -565,11 +620,58 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                      want_vel, resonance_window, tables)
     r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
                                   engine, want_vel)
-    idx = np.asarray(deep_idx, np.int32)
+    idx = deep_idx.astype(jnp.int32)
     r3 = r3.at[:, :, idx].set(d_r3)
     if want_vel:
         v3 = v3.at[:, :, idx].set(d_v3)
     err = err.at[:, idx].set(d_err)
+    return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
+
+
+@partial(jax.jit,
+         static_argnames=("grav", "output", "want_vel", "kepler_iters",
+                          "resonance_steps", "layout",
+                          "resonance_window", "k_width"))
+def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
+                          deep_p: DeepElements,
+                          merge_onehot, merge_keep, t_time, t_sat,
+                          t_sat_p, jd_sum, grav: GravityModel,
+                          output: str, want_vel: bool,
+                          kepler_iters: int = 8,
+                          resonance_steps=None,
+                          layout: str = "time_major",
+                          resonance_window=None, tables_p=None,
+                          k_width: int = 128):
+    """Pallas-engine fast path for mixed catalogs with the deep merge
+    FUSED into the kernels — no XLA scatter on the big buffers (the
+    scatter measured 3-5 ms per sweep in every formulation; see the
+    fused-merge section of ops/pallas_sgp4.py). ``els_p``/``deep_p``/
+    ``t_sat_p``/``tables_p`` are the deep subset in block-compacted
+    order — PRE-permuted at catalog staging (SatCatalog.merge_staging;
+    leaving the ~100 tiny permutation gathers inside this program
+    measured ~3 ms/sweep of pure op-dispatch overhead) — and the
+    shallow kernel's epilogue substitutes the deep planes via an exact
+    bf16-split one-hot matmul on the MXU (~0.1 ms). Reference
+    analogue: the write-time origIndices scatter maps baked at batch
+    packing, Constellation.zig:129-184."""
+    from .ops.pallas_sgp4 import (_unpack_outs, propagate_deep_pallas,
+                                  propagate_fast_pallas_sep_merge)
+
+    tsince_deep = t_time[:, None] - t_sat_p[None, :]
+    # the compact deep kernel over the block-compacted order — its flat
+    # grouped planes (3, T, n_blocks * K) are exactly the contiguous
+    # per-block operands the merge kernel block-reads (k_width inferred
+    # from the width; the kernel validates divisibility)
+    d_outs = propagate_deep_pallas(
+        els_p, deep_p, tsince_deep, grav,
+        resonance_steps=resonance_steps, planes=True,
+        want_vel=want_vel, resonance_window=resonance_window,
+        tables=tables_p)
+    dr, dv, de = _unpack_outs(d_outs, want_vel)
+    outs = propagate_fast_pallas_sep_merge(
+        els, t_time, t_sat, grav, dr, dv, de, merge_onehot, merge_keep,
+        kepler_iters=kepler_iters, planes=True, want_vel=want_vel)
+    r3, v3, err = _unpack_outs(outs, want_vel)
     return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 
 
@@ -678,12 +780,21 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
             steps = max(2, int(2 ** np.ceil(np.log2(
                 max(tmax / 720.0, 1.0) + 1.0))))
             window = _resonance_window(ep_deep)
-            r, v, err = _propagate_fast_partitioned(
-                cat.els, cat.els_deep, cat.deep_sub,
-                cat.deep_idx_static, t_time, t_sat, t_sat_deep,
-                jd_sum, cat.grav, output, velocities, cat.kepler_iters,
-                engine, steps, layout, window,
-                cat.resonance_tables(steps))
+            staging = cat.merge_staging if engine == "pallas" else None
+            if staging is not None:
+                onehot, keep, k_width, els_p, deep_p, t_sat_p = staging
+                r, v, err = _propagate_fast_fused(
+                    cat.els, els_p, deep_p, onehot, keep, t_time, t_sat,
+                    t_sat_p, jd_sum, cat.grav, output, velocities,
+                    cat.kepler_iters, steps, layout, window,
+                    cat.resonance_tables_packed(steps), k_width)
+            else:
+                r, v, err = _propagate_fast_partitioned(
+                    cat.els, cat.els_deep, cat.deep_sub,
+                    cat.deep_idx_dev, t_time, t_sat, t_sat_deep,
+                    jd_sum, cat.grav, output, velocities,
+                    cat.kepler_iters, engine, steps, layout, window,
+                    cat.resonance_tables(steps))
     else:
         # minutes since each satellite's epoch — computed with the
         # jd/fr split so the subtraction happens at epoch-difference

@@ -126,8 +126,10 @@ def main():
     import jax.numpy as jnp
 
     import astroz_tpu  # noqa: F401  (enables x64)
-    from astroz_tpu.propagation import (_propagate_fast_partitioned,
-                                        _propagate_fast_shallow)
+    from astroz_tpu.propagation import (_propagate_fast_fused,
+                                        _propagate_fast_partitioned,
+                                        _propagate_fast_shallow,
+                                        _resonance_window)
 
     from astroz_tpu.propagation import default_engine
 
@@ -136,6 +138,14 @@ def main():
     tsince_all = np.arange(N_TIMES, dtype=np.float64)
     jd_sum = 2460310.5 + tsince_all / 1440.0
     t_sat, t_sat_deep, _, _ = cat.fast_staging
+    # catalog-cached resonance tables + windowed gather — the same
+    # staging propagate() uses (tables build once per catalog; the
+    # windowed gather keeps the deep spine off the full-depth select
+    # chain: measured 0.95 ms -> 0.14 ms for the deep planes program)
+    if cat.deep is not None:
+        res_steps = 4
+        res_window = _resonance_window(cat.deep_epochs_jd)
+        res_tables = cat.resonance_tables(res_steps)
 
     # stage the (tiny) time arrays on device once; INNER_REPS copies of
     # the scenario epochs run in one program
@@ -148,16 +158,29 @@ def main():
     # output — no minor-dim-3 stack relayout (the reference likewise
     # lets callers pick the write-time layout / output buffers,
     # Constellation.zig:46-51, satrec.zig:896-988)
+    staging = cat.merge_staging if engine == "pallas" else None
+
     def run_chunk(ts, js):
         if cat.deep is None:
             return _propagate_fast_shallow(cat.els, ts, t_sat, js,
                                            cat.grav, "teme", True,
                                            cat.kepler_iters, engine,
                                            "planes")
+        if staging is not None:
+            # fused merge: deep columns substituted inside the shallow
+            # kernel's epilogue (no XLA scatter; see
+            # ops/pallas_sgp4.py fused-merge section)
+            onehot, keep, k_width, els_p, deep_p, t_sat_p = staging
+            return _propagate_fast_fused(
+                cat.els, els_p, deep_p, onehot, keep, ts, t_sat,
+                t_sat_p, js, cat.grav, "teme", True, cat.kepler_iters,
+                res_steps, "planes", res_window,
+                cat.resonance_tables_packed(res_steps), k_width)
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_static,
+            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
             ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
-            cat.kepler_iters, engine, 4, "planes")
+            cat.kepler_iters, engine, res_steps, "planes", res_window,
+            res_tables)
 
     def fetch(outs):
         # force real completion: on tunnel-attached dev chips

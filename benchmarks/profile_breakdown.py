@@ -82,13 +82,34 @@ def main():
     # B: full partitioned current path
     def run_b():
         return _propagate_fast_partitioned(
-            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_static,
+            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
             ts, t_sat,
             t_sat_deep, js, cat.grav, "teme", True, cat.kepler_iters,
             engine, 4)
     t_b = slope(run_b, fetch3)
     print(f"partitioned_full: {t_b*1e3:.2f} ms "
           f"({N_SATS*N_TIMES/t_b/1e9:.2f}G props/s)", flush=True)
+
+    # B-planes: the headline bench path (grouped planes, no relayout)
+    def run_bp():
+        return _propagate_fast_partitioned(
+            cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
+            ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
+            cat.kepler_iters, engine, 4, "planes")
+    t_bp = slope(run_bp, lambda o: np.asarray(o[0][:1, :1, :1]))
+    print(f"partitioned_planes: {t_bp*1e3:.2f} ms "
+          f"({N_SATS*N_TIMES/t_bp/1e9:.2f}G props/s)", flush=True)
+
+    # S-planes: shallow-only planes path (no deep kernel, no merge) on
+    # the same full satellite axis — the merge+deep delta vs B-planes
+    def run_sp():
+        return _propagate_fast_shallow(cat.els, ts, t_sat, js, cat.grav,
+                                       "teme", True, cat.kepler_iters,
+                                       engine, "planes")
+    t_sp = slope(run_sp, lambda o: np.asarray(o[0][:1, :1, :1]))
+    print(f"shallow_planes: {t_sp*1e3:.2f} ms "
+          f"({N_SATS*N_TIMES/t_sp/1e9:.2f}G props/s)  "
+          f"[deep+merge delta {1e3*(t_bp-t_sp):.2f} ms]", flush=True)
 
     # G: scatter cost alone — scatter precomputed deep planes into r
     r0, v0, e0 = run_a()
@@ -123,7 +144,7 @@ def main():
 
         def run_e():
             return _propagate_fast_partitioned(
-                cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_static,
+                cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
                 tsk, t_sat,
                 t_sat_deep, jsk, cat.grav, "teme", True, cat.kepler_iters,
                 engine, 4)

@@ -173,3 +173,123 @@ def test_pallas_pad_lanes_finite_and_trimmed():
     assert dr3.shape == (3, 3, 1)
     for p in (dr3, dv3):
         assert np.isfinite(np.asarray(p)).all(), "deep planes non-finite"
+
+
+def test_merge_staging_maps():
+    """build_merge_staging invariants: every deep column gets exactly
+    one one-hot row, keep is its complement, perm round-trips."""
+    from astroz_tpu.ops.pallas_sgp4 import build_merge_staging
+
+    n_sats, sat_block, kq = 300, 128, 8
+    deep_idx = np.array([0, 5, 127, 128, 200, 299])
+    perm, onehot, keep, K = build_merge_staging(deep_idx, n_sats,
+                                                sat_block, kq)
+    n_blocks = 3
+    assert onehot.shape == (n_blocks, K, sat_block)
+    assert perm.shape == (n_blocks * K,)
+    # each deep column: exactly one 1 across its block's K rows, and
+    # that row's perm entry names the right deep-subset slot
+    colsum = onehot.sum(axis=1)   # (n_blocks, sat_block)
+    for slot, col in enumerate(deep_idx):
+        j, l = col // sat_block, col % sat_block
+        assert colsum[j, l] == 1.0
+        assert keep[j, 0, l] == 0.0
+        k = int(np.argmax(onehot[j, :, l]))
+        assert perm[j * K + k] == slot
+    # non-deep columns: all-zero one-hot, keep=1
+    assert float(onehot.sum()) == len(deep_idx)
+    assert float((1.0 - keep).sum()) == len(deep_idx)
+
+
+def test_fused_merge_matches_partitioned():
+    """The fused Pallas merge (block-compacted deep kernel + in-kernel
+    bf16-split one-hot substitution) matches the scatter-based
+    partitioned path on a mixed catalog spanning several sat-blocks —
+    positions to the documented split bound, error codes exactly."""
+    import jax
+
+    from astroz_tpu.ops.pallas_sgp4 import (
+        _unpack_outs, build_merge_staging, propagate_deep_pallas,
+        propagate_fast_pallas_sep_merge)
+    from astroz_tpu.propagation import _propagate_fast_partitioned
+
+    c = build_catalog("\n".join([MIXED_TEXT] * 30))  # 150 sats, 3 deep/5
+    sat_block, kq = 128, 8
+    perm, onehot, keep, K = build_merge_staging(c.deep_idx, len(c),
+                                                sat_block, kq)
+    jd = c.epochs_jd[0] + np.linspace(0.0, 1.0, 7)
+    ref = c.epoch_min_jd
+    t_time = jnp.asarray((jd - ref) * 1440.0)
+    jd_sum = jnp.asarray(jd)[:, None]
+    t_sat, t_sat_deep, _, _ = c.fast_staging
+
+    r_ref, v_ref, e_ref = _propagate_fast_partitioned(
+        c.els, c.els_deep, c.deep_sub, c.deep_idx_dev, t_time, t_sat,
+        t_sat_deep, jd_sum, c.grav, "teme", True, c.kepler_iters,
+        "xla", 4, "planes")
+
+    take = lambda x: x[perm] if getattr(x, "ndim", 0) else x  # noqa: E731
+    els_p = jax.tree_util.tree_map(take, c.els_deep)
+    deep_p = jax.tree_util.tree_map(take, c.deep_sub)
+    tsd = t_time[:, None] - t_sat_deep[perm][None, :]
+    dr, dv, de = _unpack_outs(propagate_deep_pallas(
+        els_p, deep_p, tsd, c.grav, resonance_steps=4, sat_block=K,
+        interpret=True, planes=True, want_vel=True), True)
+    outs = propagate_fast_pallas_sep_merge(
+        c.els, t_time, t_sat, c.grav, dr, dv, de,
+        jnp.asarray(onehot, jnp.bfloat16), jnp.asarray(keep),
+        kepler_iters=c.kepler_iters, sat_block=sat_block,
+        interpret=True, planes=True, want_vel=True)
+    r3, v3, err = _unpack_outs(outs, True)
+
+    np.testing.assert_array_equal(np.asarray(err), np.asarray(e_ref))
+    np.testing.assert_allclose(np.asarray(r3, np.float64),
+                               np.asarray(r_ref, np.float64), atol=0.05)
+    np.testing.assert_allclose(np.asarray(v3, np.float64),
+                               np.asarray(v_ref, np.float64), atol=5e-4)
+    # the deep columns specifically must carry the deep kernel's values
+    # (not shallow garbage): GEO radius ~42164 km
+    deep_cols = np.asarray(c.deep_idx)
+    rad = np.linalg.norm(np.asarray(r3, np.float64)[:, 0, deep_cols],
+                         axis=0)
+    assert rad.max() > 20000.0
+
+
+def test_fused_merge_velocities_false():
+    """want_vel=False through the fused merge: 4-plane outputs, same
+    positions/errors as the want_vel=True run."""
+    import jax
+
+    from astroz_tpu.ops.pallas_sgp4 import (
+        _unpack_outs, build_merge_staging, propagate_deep_pallas,
+        propagate_fast_pallas_sep_merge)
+
+    c = build_catalog("\n".join([MIXED_TEXT] * 10))
+    sat_block, kq = 128, 8
+    perm, onehot, keep, K = build_merge_staging(c.deep_idx, len(c),
+                                                sat_block, kq)
+    jd = c.epochs_jd[0] + np.array([0.0, 0.5])
+    t_time = jnp.asarray((jd - c.epoch_min_jd) * 1440.0)
+    t_sat, t_sat_deep, _, _ = c.fast_staging
+    take = lambda x: x[perm] if getattr(x, "ndim", 0) else x  # noqa: E731
+    els_p = jax.tree_util.tree_map(take, c.els_deep)
+    deep_p = jax.tree_util.tree_map(take, c.deep_sub)
+    tsd = t_time[:, None] - t_sat_deep[perm][None, :]
+
+    res = {}
+    for wv in (True, False):
+        dr, dv, de = _unpack_outs(propagate_deep_pallas(
+            els_p, deep_p, tsd, c.grav, resonance_steps=4, sat_block=K,
+            interpret=True, planes=True, want_vel=wv), wv)
+        assert (dv is None) == (not wv)
+        outs = propagate_fast_pallas_sep_merge(
+            c.els, t_time, t_sat, c.grav, dr, dv, de,
+            jnp.asarray(onehot, jnp.bfloat16), jnp.asarray(keep),
+            kepler_iters=c.kepler_iters, sat_block=sat_block,
+            interpret=True, planes=True, want_vel=wv)
+        res[wv] = _unpack_outs(outs, wv)
+    np.testing.assert_array_equal(np.asarray(res[False][0]),
+                                  np.asarray(res[True][0]))
+    np.testing.assert_array_equal(np.asarray(res[False][2]),
+                                  np.asarray(res[True][2]))
+    assert res[False][1] is None
