@@ -124,8 +124,23 @@ class Satrec:
                         epoch_jd=np.asarray([epoch_jd]))
         self._cat = catalog_from_elements(
             els, grav, satnum=np.asarray([satnum], dtype=np.int64))
+        self._reset_scalar()
         self._init_err = self.error = int(self._cat.init_errors[0])
         return self
+
+    def _reset_scalar(self):
+        """Drop the lazily-bound scalar engines after an in-place
+        re-init: the native SatCore owns a COPY of the element vector
+        and shadows ``sgp4``/``sgp4_tsince`` as instance attributes, so
+        a ``sgp4init`` after a propagate call would otherwise keep
+        answering with the old elements."""
+        self._scalar = None
+        self._scalar_native = None
+        if self._core is not None:
+            self._t, self._error = self._core.t, self._core.error
+            self._core = None
+        self.__dict__.pop("sgp4", None)
+        self.__dict__.pop("sgp4_tsince", None)
 
     # ---- propagation ------------------------------------------------------
 

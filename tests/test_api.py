@@ -111,6 +111,28 @@ def test_sgp4init_elementwise():
     assert np.linalg.norm(np.subtract(r1, r2)) < 1e-6
 
 
+def test_sgp4init_after_sgp4_rebinds_core():
+    """An in-place ``sgp4init`` AFTER a propagate call must drop the
+    lazily-bound native scalar core (which owns a copy of the OLD
+    element vector and shadows ``sgp4`` as an instance attribute) —
+    otherwise subsequent calls keep answering with the old orbit."""
+    sat = Satrec.twoline2rv(TRAJ_L1, TRAJ_L2, WGS72)
+    jd, fr = sat.jdsatepoch, sat.jdsatepochF
+    e1, r1, v1 = sat.sgp4(jd, fr)  # binds the native core
+    assert e1 == 0
+    assert np.linalg.norm(r1) < 8000  # LEO
+    # re-init in place with a geosynchronous orbit
+    epoch_1949 = jd + fr - 2433281.5
+    sat.sgp4init(WGS72, "i", 99999, epoch_1949, 0.0, 0.0, 0.0,
+                 2e-4, 1.0, 0.01, 2.0, 0.004375, 1.0)
+    e2, r2, v2 = sat.sgp4(jd, fr)
+    assert e2 == 0
+    assert np.linalg.norm(r2) > 40000, "stale pre-init elements served"
+    # the rebound fast path (2nd call after re-init) must agree
+    e3, r3, v3 = sat.sgp4(jd, fr)
+    np.testing.assert_allclose(r3, r2, atol=1e-9)
+
+
 def test_decay_error_code():
     l1 = "1 25544U 98067A   24001.50000000  .00016717  00000-0  99999+2 0  9999"
     sat = Satrec.twoline2rv(l1, TRAJ_L2, WGS72)
