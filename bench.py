@@ -66,7 +66,7 @@ def synthetic_catalog(n: int):
 
     text = synthetic_catalog_text(n)
     t0 = time.perf_counter()
-    cat = build_catalog(text, grav=WGS72)
+    cat = build_catalog(text, grav=WGS72, verbose=True)
     print(f"# ingest+init: {len(cat)} sats in "
           f"{time.perf_counter() - t0:.2f}s", file=sys.stderr)
     return cat
