@@ -585,8 +585,13 @@ def _merge_vals(vals, dr, dv, de, onehot, keep):
     nrv = dexp.shape[0] - tb
     rv = dexp[:nrv].reshape(nrv // tb, tb, onehot.shape[1])
     eexp = dexp[nrv:]
-    out = [vals[p] * keep + rv[p] for p in range(nrv // tb)]
-    err = jnp.where(keep == 0.0, eexp.astype(jnp.int32), vals[-1])
+    # select, not multiply-add: the shallow tail's values on DEEP
+    # columns are discarded unread (the scatter path likewise replaced
+    # them), so a non-finite shallow value there can't leak through a
+    # 0-weight product (inf * 0 = nan)
+    deep_col = keep == 0.0
+    out = [jnp.where(deep_col, rv[p], vals[p]) for p in range(nrv // tb)]
+    err = jnp.where(deep_col, eexp.astype(jnp.int32), vals[-1])
     return tuple(out) + (err,)
 
 

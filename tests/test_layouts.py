@@ -255,6 +255,50 @@ def test_fused_merge_matches_partitioned():
     assert rad.max() > 20000.0
 
 
+def test_merge_vals_nonfinite_shallow_discarded():
+    """The merge must REPLACE deep columns (select), never blend: a
+    non-finite shallow value on a deep column would leak through a
+    0-weight multiply-add (inf * 0 = nan) but not through a select."""
+    import jax.numpy as jnp
+
+    from astroz_tpu.ops.pallas_sgp4 import _merge_vals
+
+    tb, K, sb = 2, 8, 16
+    deep_cols = [3, 7]
+    onehot = np.zeros((K, sb), np.float32)
+    keep = np.ones(sb, np.float32)
+    for k, c in enumerate(deep_cols):
+        onehot[k, c] = 1.0
+        keep[c] = 0.0
+    # shallow vals: inf/nan exactly on the deep columns
+    vals = []
+    for p in range(6):
+        v = np.full((tb, sb), float(p + 1), np.float32)
+        v[:, deep_cols[0]] = np.inf
+        v[:, deep_cols[1]] = np.nan
+        vals.append(jnp.asarray(v))
+    err_sh = np.zeros((tb, sb), np.int32)
+    err_sh[:, deep_cols] = 99  # shallow error codes on deep cols: unread
+    vals.append(jnp.asarray(err_sh))
+    dr = jnp.asarray(np.full((3, tb, K), 7.25, np.float32))
+    dv = jnp.asarray(np.full((3, tb, K), -2.5, np.float32))
+    de = jnp.asarray(np.zeros((tb, K), np.float32))
+    out = _merge_vals(tuple(vals), dr, dv, de,
+                      jnp.asarray(onehot, jnp.bfloat16),
+                      jnp.asarray(keep))
+    for p in range(6):
+        o = np.asarray(out[p])
+        assert np.isfinite(o).all(), f"plane {p} non-finite"
+        for c in deep_cols:
+            np.testing.assert_array_equal(o[:, c], 7.25 if p < 3 else -2.5)
+        keep_cols = [c for c in range(sb) if c not in deep_cols]
+        np.testing.assert_array_equal(o[:, keep_cols], float(p + 1))
+    e = np.asarray(out[-1])
+    assert (e[:, deep_cols] == 0).all()
+    keep_cols = [c for c in range(sb) if c not in deep_cols]
+    assert (e[:, keep_cols] == 0).all()
+
+
 def test_fused_merge_velocities_false():
     """want_vel=False through the fused merge: 4-plane outputs, same
     positions/errors as the want_vel=True run."""
