@@ -520,43 +520,70 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
 
 
 def build_merge_staging(deep_idx, n_sats: int, sat_block: int = SAT_BLOCK,
-                        k_quantum: int = 128):
-    """Static per-sat-block compaction maps for the fused deep merge.
+                        k_quantum: int = 128, group_blocks=None):
+    """Static compaction maps for the fused deep merge.
 
-    Pure numpy (runs once per catalog). Returns ``(perm, onehot, keep,
-    K)``:
+    Pure numpy (runs once per catalog). Deep satellites are compacted
+    into one K-wide lane group per ``group_blocks`` consecutive
+    sat-blocks: K must be a multiple of the 128-lane quantum, so
+    grouping several sat-blocks per deep group amortizes that quantum —
+    e.g. ~48 deep sats per 1024-block wastes 80/128 lanes ungrouped but
+    only ~16/128 when g=2 groups hold ~96 (the deep kernel and its
+    f64 spine pay per LANE, so the group width directly scales the
+    deep-side cost). ``group_blocks=None`` picks the g in {1,2,4,8,16}
+    minimizing total width (tie: smaller K).
 
-    * ``perm (n_blocks * K,) i32`` — deep-subset row index feeding lane
-      ``(j, k)`` of the block-compacted deep kernel; pad lanes clamp to
-      row 0 (their one-hot columns are all-zero, so their values never
-      reach the output — clamping just keeps the pad math finite).
+    Returns ``(perm, onehot, keep, K, group_blocks)``:
+
+    * ``perm (n_groups * K,) i32`` — deep-subset row index feeding lane
+      ``(group, k)`` of the group-compacted deep kernel; pad lanes
+      clamp to row 0 (their one-hot columns are all-zero, so their
+      values never reach the output — clamping just keeps the pad math
+      finite).
     * ``onehot (n_blocks, K, sat_block) f32`` — ``onehot[j, k, l] = 1``
-      iff block ``j``'s ``k``-th deep member sits at in-block column
-      ``l`` (cast to bf16 at staging; 0/1 are exact).
+      iff member ``k`` of block ``j``'s GROUP (group ``j // g``) sits
+      at in-block column ``l`` of block ``j`` (members living in the
+      group's other blocks have all-zero rows here; cast to bf16 at
+      staging — 0/1 are exact).
     * ``keep (n_blocks, 1, sat_block) f32`` — 0 on deep columns, 1
       elsewhere (pad columns of the last partial block count as kept).
-    * ``K`` — static compaction width, a multiple of ``k_quantum``.
+    * ``K`` — static group width, a multiple of ``k_quantum``.
     """
     import numpy as np
 
     n_blocks = -(-n_sats // sat_block)
     idx = np.asarray(deep_idx, np.int64)
-    blk = idx // sat_block
-    counts = np.bincount(blk, minlength=n_blocks)
-    kmax = int(counts.max()) if idx.size else 1
-    K = k_quantum * max(1, -(-kmax // k_quantum))
-    perm = np.zeros((n_blocks, K), np.int32)
+
+    def plan(g):
+        n_groups = -(-n_blocks // g)
+        counts = np.bincount(idx // (sat_block * g), minlength=n_groups)
+        kmax = int(counts.max()) if idx.size else 1
+        K = k_quantum * max(1, -(-kmax // k_quantum))
+        return n_groups * K, K, g
+
+    if group_blocks is None:
+        cands = [plan(g) for g in (1, 2, 4, 8, 16)
+                 if g == 1 or g < 2 * n_blocks]
+        # prefer K <= 256: the merge matmul cost scales with K, and the
+        # catalog layer falls back to the scatter path past 256
+        _, _, group_blocks = min([c for c in cands if c[1] <= 256]
+                                 or cands)
+    g = group_blocks
+    n_groups = -(-n_blocks // g)
+    _, K, _ = plan(g)
+    perm = np.zeros((n_groups, K), np.int32)
     onehot = np.zeros((n_blocks, K, sat_block), np.float32)
     keep = np.ones((n_blocks, 1, sat_block), np.float32)
-    fill = np.zeros(n_blocks, np.int64)
+    fill = np.zeros(n_groups, np.int64)
     for slot, col in enumerate(idx):
         j = int(col) // sat_block
-        k = int(fill[j])
-        fill[j] += 1
-        perm[j, k] = slot
+        grp = j // g
+        k = int(fill[grp])
+        fill[grp] += 1
+        perm[grp, k] = slot
         onehot[j, k, int(col) % sat_block] = 1.0
         keep[j, 0, int(col) % sat_block] = 0.0
-    return perm.reshape(-1), onehot, keep, K
+    return perm.reshape(-1), onehot, keep, K, g
 
 
 def _merge_vals(vals, dr, dv, de, onehot, keep):
@@ -625,7 +652,7 @@ def _kernel_fused_sep_merge(grav, kepler_iters, want_vel, ah_ref, al_ref,
 @functools.partial(jax.jit, static_argnames=("grav", "kepler_iters",
                                              "time_block", "sat_block",
                                              "interpret", "planes",
-                                             "want_vel"))
+                                             "want_vel", "group_blocks"))
 def propagate_fast_pallas_sep_merge(els: Sgp4Elements, t_time, t_sat,
                                     grav: GravityModel, dr, dv, de,
                                     onehot, keep, kepler_iters: int = 5,
@@ -633,21 +660,23 @@ def propagate_fast_pallas_sep_merge(els: Sgp4Elements, t_time, t_sat,
                                     sat_block: int = SAT_BLOCK,
                                     interpret: bool = False,
                                     planes: bool = False,
-                                    want_vel: bool = True):
+                                    want_vel: bool = True,
+                                    group_blocks: int = 1):
     """The separable-time shallow kernel with the deep-column merge
     fused into its epilogue (see the module-section comment above).
 
     ``dr``/``dv`` are the deep kernel's grouped planes ``(3, T,
-    n_blocks * K)`` over the block-compacted (``merge_perm``-ordered)
-    deep subset — group ``j`` occupies the contiguous K-wide column
-    range ``[j*K, (j+1)*K)``, so the per-block deep operand is a plain
-    contiguous block read, never a gather; ``de`` is the matching err
+    n_groups * K)`` over the group-compacted (``merge_perm``-ordered)
+    deep subset — the group covering sat-blocks ``[G*g, (G+1)*g)``
+    occupies the contiguous K-wide column range ``[G*K, (G+1)*K)``, so
+    the per-block deep operand is a plain contiguous block read
+    (index map ``j // g``), never a gather; ``de`` is the matching err
     plane (any numeric dtype; converted to f32 — codes are small ints,
     exact). ``onehot`` (n_blocks, K, sat_block) bf16 and ``keep``
-    (n_blocks, 1, sat_block) f32 come from :func:`build_merge_staging`.
-    The grid iterates sat-blocks in the OUTER dimension so the
-    per-block one-hot operand loads once per block, not once per grid
-    step."""
+    (n_blocks, 1, sat_block) f32 come from :func:`build_merge_staging`
+    (whose ``group_blocks`` must match). The grid iterates sat-blocks
+    in the OUTER dimension so the per-block one-hot operand loads once
+    per block, not once per grid step."""
     t_time = jnp.asarray(t_time)
     t_sat = jnp.asarray(t_sat)
     n_times = t_time.shape[0]
@@ -676,9 +705,13 @@ def propagate_fast_pallas_sep_merge(els: Sgp4Elements, t_time, t_sat,
     n_blocks = ss // sat_block
     if onehot.shape[0] != n_blocks:
         raise ValueError("merge staging block count mismatch")
-    if dr.shape[-1] % n_blocks:
-        raise ValueError("deep planes width must be n_blocks * K")
-    k_width = dr.shape[-1] // n_blocks
+    g = group_blocks
+    n_groups = -(-n_blocks // g)
+    if dr.shape[-1] % n_groups:
+        raise ValueError("deep planes width must be n_groups * K")
+    k_width = dr.shape[-1] // n_groups
+    if onehot.shape[1] != k_width:
+        raise ValueError("one-hot K does not match deep planes width")
     onehot = onehot.astype(jnp.bfloat16)
     if tp:
         # the deep planes carry exact T; pad so boundary time blocks
@@ -697,11 +730,14 @@ def propagate_fast_pallas_sep_merge(els: Sgp4Elements, t_time, t_sat,
     def blk_map3(j, i):
         return (j, i - i, i - i)
 
+    # deep operands index by GROUP: sat-block j reads group j // g
+    # (j is i32; dividing by the Python constant keeps i32 — a literal
+    # return value would go i64 under x64, see the col_map note above)
     deep_rv_spec = pl.BlockSpec((3, time_block, k_width),
-                                lambda j, i: (i - i, i, j),
+                                lambda j, i: (i - i, i, j // g),
                                 memory_space=pltpu.VMEM)
     deep_e_spec = pl.BlockSpec((time_block, k_width),
-                               lambda j, i: (i, j),
+                               lambda j, i: (i, j // g),
                                memory_space=pltpu.VMEM)
     rv_out = pl.BlockSpec((3, time_block, sat_block),
                           lambda j, i: (i - i, i, j),

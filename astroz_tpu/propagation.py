@@ -160,19 +160,19 @@ class SatCatalog:
 
     @cached_property
     def merge_staging(self):
-        """Static per-sat-block deep-merge staging for the fused Pallas
-        merge (ops/pallas_sgp4.build_merge_staging): ``(onehot_dev,
-        keep_dev, K, els_deep_p, deep_sub_p, t_sat_deep_p)`` — the
+        """Static deep-merge staging for the fused Pallas merge
+        (ops/pallas_sgp4.build_merge_staging): ``(onehot_dev, keep_dev,
+        K, group_blocks, els_deep_p, deep_sub_p, t_sat_deep_p)`` — the
         one-hot/keep operands plus the deep subset PRE-PERMUTED into
-        block-compacted order, all staged once per catalog (the ~100
+        group-compacted order, all staged once per catalog (the ~100
         tiny per-leaf gathers measured ~3 ms/sweep when left inside the
         per-sweep program). ``None`` for pure near-earth catalogs or
-        when the deep fraction is so large that block compaction
+        when the deep fraction is so large that group compaction
         degenerates (K > 256; the scatter path handles those)."""
         if self.deep_idx is None:
             return None
         from .ops.pallas_sgp4 import SAT_BLOCK, build_merge_staging
-        perm, onehot, keep, k_width = build_merge_staging(
+        perm, onehot, keep, k_width, g = build_merge_staging(
             self.deep_idx, len(self), SAT_BLOCK)
         if k_width > 256:
             return None
@@ -190,7 +190,7 @@ class SatCatalog:
                                        t_sat_deep)
         return (jax.device_put(jnp.asarray(onehot, jnp.bfloat16)),
                 jax.device_put(jnp.asarray(keep, jnp.float32)),
-                k_width, els_p, deep_p, tsd_p)
+                k_width, g, els_p, deep_p, tsd_p)
 
     def resonance_tables_packed(self, steps: int):
         """Resonance tables built directly on the block-compacted
@@ -200,7 +200,7 @@ class SatCatalog:
         tb = self._resonance_tables_cache.get(key)
         if tb is None:
             from .ops.fast import build_resonance_tables
-            _, _, _, els_p, deep_p, _ = self.merge_staging
+            _, _, _, _, els_p, deep_p, _ = self.merge_staging
             tb = build_resonance_tables(deep_p, els_p, n_steps=steps)
             self._resonance_tables_cache[key] = tb
         return tb
@@ -631,7 +631,7 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "resonance_steps", "layout",
-                          "resonance_window", "k_width"))
+                          "resonance_window", "k_width", "group_blocks"))
 def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           deep_p: DeepElements,
                           merge_onehot, merge_keep, t_time, t_sat,
@@ -641,7 +641,7 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           resonance_steps=None,
                           layout: str = "time_major",
                           resonance_window=None, tables_p=None,
-                          k_width: int = 128):
+                          k_width: int = 128, group_blocks: int = 1):
     """Pallas-engine fast path for mixed catalogs with the deep merge
     FUSED into the kernels — no XLA scatter on the big buffers (the
     scatter measured 3-5 ms per sweep in every formulation; see the
@@ -670,7 +670,8 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
     dr, dv, de = _unpack_outs(d_outs, want_vel)
     outs = propagate_fast_pallas_sep_merge(
         els, t_time, t_sat, grav, dr, dv, de, merge_onehot, merge_keep,
-        kepler_iters=kepler_iters, planes=True, want_vel=want_vel)
+        kepler_iters=kepler_iters, planes=True, want_vel=want_vel,
+        group_blocks=group_blocks)
     r3, v3, err = _unpack_outs(outs, want_vel)
     return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 
@@ -782,12 +783,12 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
             window = _resonance_window(ep_deep)
             staging = cat.merge_staging if engine == "pallas" else None
             if staging is not None:
-                onehot, keep, k_width, els_p, deep_p, t_sat_p = staging
+                onehot, keep, k_width, g, els_p, deep_p, t_sat_p = staging
                 r, v, err = _propagate_fast_fused(
                     cat.els, els_p, deep_p, onehot, keep, t_time, t_sat,
                     t_sat_p, jd_sum, cat.grav, output, velocities,
                     cat.kepler_iters, steps, layout, window,
-                    cat.resonance_tables_packed(steps), k_width)
+                    cat.resonance_tables_packed(steps), k_width, g)
             else:
                 r, v, err = _propagate_fast_partitioned(
                     cat.els, cat.els_deep, cat.deep_sub,

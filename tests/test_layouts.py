@@ -177,35 +177,45 @@ def test_pallas_pad_lanes_finite_and_trimmed():
 
 def test_merge_staging_maps():
     """build_merge_staging invariants: every deep column gets exactly
-    one one-hot row, keep is its complement, perm round-trips."""
+    one one-hot row, keep is its complement, perm round-trips — for
+    ungrouped (g=1) and grouped (g=2) compaction."""
     from astroz_tpu.ops.pallas_sgp4 import build_merge_staging
 
     n_sats, sat_block, kq = 300, 128, 8
     deep_idx = np.array([0, 5, 127, 128, 200, 299])
-    perm, onehot, keep, K = build_merge_staging(deep_idx, n_sats,
-                                                sat_block, kq)
     n_blocks = 3
-    assert onehot.shape == (n_blocks, K, sat_block)
-    assert perm.shape == (n_blocks * K,)
-    # each deep column: exactly one 1 across its block's K rows, and
-    # that row's perm entry names the right deep-subset slot
-    colsum = onehot.sum(axis=1)   # (n_blocks, sat_block)
-    for slot, col in enumerate(deep_idx):
-        j, l = col // sat_block, col % sat_block
-        assert colsum[j, l] == 1.0
-        assert keep[j, 0, l] == 0.0
-        k = int(np.argmax(onehot[j, :, l]))
-        assert perm[j * K + k] == slot
-    # non-deep columns: all-zero one-hot, keep=1
-    assert float(onehot.sum()) == len(deep_idx)
-    assert float((1.0 - keep).sum()) == len(deep_idx)
+    for g_req in (1, 2):
+        perm, onehot, keep, K, g = build_merge_staging(
+            deep_idx, n_sats, sat_block, kq, group_blocks=g_req)
+        assert g == g_req
+        n_groups = -(-n_blocks // g)
+        assert onehot.shape == (n_blocks, K, sat_block)
+        assert perm.shape == (n_groups * K,)
+        # each deep column: exactly one 1 across its block's K rows,
+        # and that row's perm entry names the right deep-subset slot
+        colsum = onehot.sum(axis=1)   # (n_blocks, sat_block)
+        for slot, col in enumerate(deep_idx):
+            j, l = col // sat_block, col % sat_block
+            assert colsum[j, l] == 1.0
+            assert keep[j, 0, l] == 0.0
+            k = int(np.argmax(onehot[j, :, l]))
+            assert perm[(j // g) * K + k] == slot
+        # non-deep columns: all-zero one-hot, keep=1
+        assert float(onehot.sum()) == len(deep_idx)
+        assert float((1.0 - keep).sum()) == len(deep_idx)
+    # auto selection picks the smallest total width
+    _, _, _, K_auto, g_auto = build_merge_staging(deep_idx, n_sats,
+                                                  sat_block, kq)
+    assert g_auto >= 1 and K_auto >= kq
 
 
-def test_fused_merge_matches_partitioned():
-    """The fused Pallas merge (block-compacted deep kernel + in-kernel
+@pytest.mark.parametrize("group_blocks", [1, 2])
+def test_fused_merge_matches_partitioned(group_blocks):
+    """The fused Pallas merge (group-compacted deep kernel + in-kernel
     bf16-split one-hot substitution) matches the scatter-based
     partitioned path on a mixed catalog spanning several sat-blocks —
-    positions to the documented split bound, error codes exactly."""
+    positions to the documented split bound, error codes exactly —
+    for both ungrouped and grouped (g=2) deep compaction."""
     import jax
 
     from astroz_tpu.ops.pallas_sgp4 import (
@@ -215,8 +225,9 @@ def test_fused_merge_matches_partitioned():
 
     c = build_catalog("\n".join([MIXED_TEXT] * 30))  # 150 sats, 3 deep/5
     sat_block, kq = 128, 8
-    perm, onehot, keep, K = build_merge_staging(c.deep_idx, len(c),
-                                                sat_block, kq)
+    perm, onehot, keep, K, g = build_merge_staging(
+        c.deep_idx, len(c), sat_block, kq, group_blocks=group_blocks)
+    assert g == group_blocks
     jd = c.epochs_jd[0] + np.linspace(0.0, 1.0, 7)
     ref = c.epoch_min_jd
     t_time = jnp.asarray((jd - ref) * 1440.0)
@@ -239,7 +250,8 @@ def test_fused_merge_matches_partitioned():
         c.els, t_time, t_sat, c.grav, dr, dv, de,
         jnp.asarray(onehot, jnp.bfloat16), jnp.asarray(keep),
         kepler_iters=c.kepler_iters, sat_block=sat_block,
-        interpret=True, planes=True, want_vel=True)
+        interpret=True, planes=True, want_vel=True,
+        group_blocks=group_blocks)
     r3, v3, err = _unpack_outs(outs, True)
 
     np.testing.assert_array_equal(np.asarray(err), np.asarray(e_ref))
@@ -310,8 +322,8 @@ def test_fused_merge_velocities_false():
 
     c = build_catalog("\n".join([MIXED_TEXT] * 10))
     sat_block, kq = 128, 8
-    perm, onehot, keep, K = build_merge_staging(c.deep_idx, len(c),
-                                                sat_block, kq)
+    perm, onehot, keep, K, _g = build_merge_staging(
+        c.deep_idx, len(c), sat_block, kq, group_blocks=1)
     jd = c.epochs_jd[0] + np.array([0.0, 0.5])
     t_time = jnp.asarray((jd - c.epoch_min_jd) * 1440.0)
     t_sat, t_sat_deep, _, _ = c.fast_staging
