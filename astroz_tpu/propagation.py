@@ -631,7 +631,8 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "resonance_steps", "layout",
-                          "resonance_window", "k_width", "group_blocks"))
+                          "resonance_window", "k_width", "group_blocks",
+                          "interpret"))
 def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           deep_p: DeepElements,
                           merge_onehot, merge_keep, t_time, t_sat,
@@ -641,7 +642,8 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           resonance_steps=None,
                           layout: str = "time_major",
                           resonance_window=None, tables_p=None,
-                          k_width: int = 128, group_blocks: int = 1):
+                          k_width: int = 128, group_blocks: int = 1,
+                          interpret: bool = False):
     """Pallas-engine fast path for mixed catalogs with the deep merge
     FUSED into the kernels — no XLA scatter on the big buffers (the
     scatter measured 3-5 ms per sweep in every formulation; see the
@@ -658,20 +660,24 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                                   propagate_fast_pallas_sep_merge)
 
     tsince_deep = t_time[:, None] - t_sat_p[None, :]
-    # the compact deep kernel over the block-compacted order — its flat
-    # grouped planes (3, T, n_blocks * K) are exactly the contiguous
-    # per-block operands the merge kernel block-reads (k_width inferred
-    # from the width; the kernel validates divisibility)
+    # the compact deep kernel over the group-compacted order — its flat
+    # grouped planes (3, T, n_groups * K) are exactly the contiguous
+    # per-group operands the merge kernel block-reads. Tile the deep
+    # kernel with a divisor of the compact width so the grouping win
+    # isn't padded away (896 lanes under the default 256-tile would pad
+    # back to 1024).
+    width = els_p.no_kozai.shape[0]
+    deep_sb = 256 if width % 256 == 0 else 128
     d_outs = propagate_deep_pallas(
         els_p, deep_p, tsince_deep, grav,
         resonance_steps=resonance_steps, planes=True,
         want_vel=want_vel, resonance_window=resonance_window,
-        tables=tables_p)
+        tables=tables_p, sat_block=deep_sb, interpret=interpret)
     dr, dv, de = _unpack_outs(d_outs, want_vel)
     outs = propagate_fast_pallas_sep_merge(
         els, t_time, t_sat, grav, dr, dv, de, merge_onehot, merge_keep,
         kepler_iters=kepler_iters, planes=True, want_vel=want_vel,
-        group_blocks=group_blocks)
+        group_blocks=group_blocks, interpret=interpret)
     r3, v3, err = _unpack_outs(outs, want_vel)
     return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 

@@ -267,6 +267,44 @@ def test_fused_merge_matches_partitioned(group_blocks):
     assert rad.max() > 20000.0
 
 
+def test_fused_wrapper_full_dispatch_interpret():
+    """_propagate_fast_fused — the EXACT jitted wrapper propagate()
+    dispatches to on TPU, fed the EXACT catalog staging
+    (SatCatalog.merge_staging + resonance_tables_packed) — matches the
+    scatter path in interpret mode. Guards the fused dispatch wiring
+    that otherwise only executes on real hardware."""
+    from astroz_tpu.propagation import (_propagate_fast_fused,
+                                        _propagate_fast_partitioned,
+                                        _resonance_window)
+
+    c = build_catalog("\n".join([MIXED_TEXT] * 52))  # 260 sats, 3 blocks
+    staging = c.merge_staging
+    assert staging is not None
+    onehot, keep, k_width, g, els_p, deep_p, t_sat_p = staging
+    jd = c.epochs_jd[0] + np.linspace(0.0, 2.0, 5)
+    t_time = jnp.asarray((jd - c.epoch_min_jd) * 1440.0)
+    jd_sum = jnp.asarray(jd)[:, None]
+    t_sat, t_sat_deep, _, _ = c.fast_staging
+    steps = 4
+    window = _resonance_window(c.deep_epochs_jd)
+
+    r_f, v_f, e_f = _propagate_fast_fused(
+        c.els, els_p, deep_p, onehot, keep, t_time, t_sat, t_sat_p,
+        jd_sum, c.grav, "teme", True, c.kepler_iters, steps, "planes",
+        window, c.resonance_tables_packed(steps), k_width, g,
+        interpret=True)
+    r_s, v_s, e_s = _propagate_fast_partitioned(
+        c.els, c.els_deep, c.deep_sub, c.deep_idx_dev, t_time, t_sat,
+        t_sat_deep, jd_sum, c.grav, "teme", True, c.kepler_iters,
+        "xla", steps, "planes", window, c.resonance_tables(steps))
+
+    np.testing.assert_array_equal(np.asarray(e_f), np.asarray(e_s))
+    np.testing.assert_allclose(np.asarray(r_f, np.float64),
+                               np.asarray(r_s, np.float64), atol=0.05)
+    np.testing.assert_allclose(np.asarray(v_f, np.float64),
+                               np.asarray(v_s, np.float64), atol=5e-4)
+
+
 def test_merge_vals_nonfinite_shallow_discarded():
     """The merge must REPLACE deep columns (select), never blend: a
     non-finite shallow value on a deep column would leak through a
