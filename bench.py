@@ -251,10 +251,12 @@ def main():
     }))
 
 
-def main_with_retry(attempts: int = 3):
+def main_with_retry(attempts: int = 5):
     """The dev-chip tunnel intermittently aborts (FAILED_PRECONDITION /
     ABORTED) and recovers within a minute or two — retry so one flake
-    doesn't lose the benchmark record."""
+    doesn't lose the benchmark record. (Full outages of ~1 h have also
+    been observed; retries can't ride those out, but 5 x 120 s covers
+    the common recovery window.)"""
     fn = main_mesh if "--mesh" in sys.argv[1:] else main
     for k in range(attempts):
         try:
@@ -264,7 +266,7 @@ def main_with_retry(attempts: int = 3):
                 raise
             print(f"# bench attempt {k + 1} failed ({exc}); retrying",
                   file=sys.stderr)
-            time.sleep(90)
+            time.sleep(120)
 
 
 if __name__ == "__main__":
