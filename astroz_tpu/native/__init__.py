@@ -39,6 +39,7 @@ def _build() -> bool:
     try:
         src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
                         os.path.getmtime(_SRC3), os.path.getmtime(_SRC4),
+                        os.path.getmtime(_SRC_EXT),
                         os.path.getmtime(os.path.join(_DIR,
                                                       "scalar_fields.h")))
         if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:

@@ -64,9 +64,18 @@ static PyObject* satcore_sgp4(SatCore* self, PyObject* const* args,
     PyErr_SetString(PyExc_TypeError, "sgp4(jd, fr)");
     return NULL;
   }
-  double jd = PyFloat_AsDouble(args[0]);
-  double fr = PyFloat_AsDouble(args[1]);
-  if (PyErr_Occurred()) return NULL;
+  /* exact-float fast path: skips the PyFloat_AsDouble call + the
+   * PyErr_Occurred thread-state fetch on the hot loop (jd/fr are
+   * virtually always Python floats) */
+  double jd, fr;
+  if (PyFloat_CheckExact(args[0]) && PyFloat_CheckExact(args[1])) {
+    jd = PyFloat_AS_DOUBLE(args[0]);
+    fr = PyFloat_AS_DOUBLE(args[1]);
+  } else {
+    jd = PyFloat_AsDouble(args[0]);
+    fr = PyFloat_AsDouble(args[1]);
+    if (PyErr_Occurred()) return NULL;
+  }
   double tsince =
       ((jd - self->jdsatepoch) + (fr - self->jdsatepochF)) * 1440.0;
   double out[6];
@@ -83,8 +92,13 @@ static PyObject* satcore_sgp4_tsince(SatCore* self, PyObject* const* args,
     PyErr_SetString(PyExc_TypeError, "sgp4_tsince(tsince_min)");
     return NULL;
   }
-  double tsince = PyFloat_AsDouble(args[0]);
-  if (PyErr_Occurred()) return NULL;
+  double tsince;
+  if (PyFloat_CheckExact(args[0])) {
+    tsince = PyFloat_AS_DOUBLE(args[0]);
+  } else {
+    tsince = PyFloat_AsDouble(args[0]);
+    if (PyErr_Occurred()) return NULL;
+  }
   double out[6];
   int e = astroz_scalar_sgp4(self->vec, tsince, out);
   self->t = tsince;

@@ -10,12 +10,128 @@
 // is exact-ULP-level and fuzz-tested in tests/test_native.py.
 
 #include <cmath>
+#include <cstdint>
+#include <cstring>
 
 #include "scalar_fields.h"  // packed field-vector layout (enum F)
 
 namespace {
 
 constexpr double TWOPI = 6.283185307179586476925286766559;
+
+// ---- fast trig (this box: glibc fmod 40-160 ns, sincos 37 ns; the
+// hot path has ~5 fmods and ~8 sin/cos pairs, dominating the per-call
+// cost). Cody-Waite 3-part constant reduction + fdlibm-grade minimax
+// kernels (the classical public Sun coefficients) give ~1-2 ulp —
+// orders of magnitude inside the 1e-9 km fuzz parity gate
+// (tests/test_native.py). Angle arguments here stay |x| < ~1e5 rad
+// (tsince * mdot scale), so the quotient fits well inside the exact
+// 33-bit-constant product range (k < 2^20). -------------------------
+
+constexpr double INV_PIO2 = 6.36619772367581382433e-01;  // 2/pi
+// pi/2 = P1 + P2 + P3 (P1, P2 carry 33 significant bits each)
+constexpr double PIO2_1 = 1.57079632673412561417e+00;
+constexpr double PIO2_2 = 6.07710050630396597660e-11;
+constexpr double PIO2_3 = 2.02226624879595063154e-21;
+// 2*pi = 4*(P1 + P2 + P3): exact power-of-two scaling of the splits
+constexpr double TP_1 = 4.0 * PIO2_1;
+constexpr double TP_2 = 4.0 * PIO2_2;
+constexpr double TP_3 = 4.0 * PIO2_3;
+constexpr double INV_TWOPI = 1.59154943091895335769e-01;  // 1/(2*pi)
+
+constexpr double S1 = -1.66666666666666324348e-01;
+constexpr double S2 = 8.33333333332248946124e-03;
+constexpr double S3 = -1.98412698298579493134e-04;
+constexpr double S4 = 2.75573137070700676789e-06;
+constexpr double S5 = -2.50507602534068634195e-08;
+constexpr double S6 = 1.58969099521155010221e-10;
+constexpr double C1 = 4.16666666666666019037e-02;
+constexpr double C2 = -1.38888888888741095749e-03;
+constexpr double C3 = 2.48015872894767294178e-05;
+constexpr double C4 = -2.75573143513906633035e-07;
+constexpr double C5 = 2.08757232129817482790e-09;
+constexpr double C6 = -1.13596475577881948265e-11;
+
+// sin+cos in ~13 ns (vs 37 ns glibc sincos): quadrant reduction,
+// shared z powers, branchless-ish quadrant swap.
+inline void fast_sincos(double x, double* sx, double* cx) {
+  const double kd = std::nearbyint(x * INV_PIO2);
+  const long long k = (long long)kd;
+  double r = x - kd * PIO2_1;
+  r -= kd * PIO2_2;
+  r -= kd * PIO2_3;
+  const double z = r * r;
+  const double ks =
+      r + r * z * (S1 + z * (S2 + z * (S3 + z * (S4 + z * (S5 + z * S6)))));
+  const double kc =
+      1.0 - 0.5 * z +
+      z * z * (C1 + z * (C2 + z * (C3 + z * (C4 + z * (C5 + z * C6)))));
+  // branchless quadrant swap/negate (the quadrant is data-dependent
+  // noise across calls — a switch would mispredict ~50% of the time,
+  // ~15 cycles x 8 sincos per propagate): exact bit-level select and
+  // sign-bit xor, no rounding introduced.
+  uint64_t kb, cb;
+  std::memcpy(&kb, &ks, 8);
+  std::memcpy(&cb, &kc, 8);
+  const uint64_t m = (uint64_t)0 - (uint64_t)(k & 1);  // all-ones if swap
+  uint64_t sb = (kb & ~m) | (cb & m);
+  uint64_t cbv = (cb & ~m) | (kb & m);
+  sb ^= (uint64_t)(k & 2) << 62;        // sin negative in quadrants 2,3
+  cbv ^= (uint64_t)((k + 1) & 2) << 62;  // cos negative in quadrants 1,2
+  std::memcpy(sx, &sb, 8);
+  std::memcpy(cx, &cbv, 8);
+}
+
+inline double fast_sin(double x) {
+  double s, c;
+  fast_sincos(x, &s, &c);
+  return s;
+}
+
+inline double fast_cos(double x) {
+  double s, c;
+  fast_sincos(x, &s, &c);
+  return c;
+}
+
+// cbrt(x) for x > 0 in ~15 ns (vs 31 ns glibc): exponent/mantissa
+// split, deg-2 guess of m^(-1/3) on [1,2) (max rel err 2.9e-3), three
+// multiply-only Newton steps on t^(-3) = m (quadratic: 3e-16), one
+// final divide-form polish on the full value (~0.5 ulp).
+inline double fast_cbrt(double x) {
+  uint64_t u;
+  std::memcpy(&u, &x, 8);
+  const int e = (int)(u >> 52) - 1023;
+  const uint64_t mbits = (u & 0xFFFFFFFFFFFFFull) | 0x3FF0000000000000ull;
+  double m;
+  std::memcpy(&m, &mbits, 8);  // m in [1, 2)
+  int q = e / 3, r = e - 3 * q;
+  if (r < 0) { r += 3; q -= 1; }
+  static const double corr[3] = {1.0, 1.2599210498948731648,
+                                 1.5874010519681994748};  // 2^(r/3)
+  double t = 1.38235576 + m * (-0.47730914 + m * 0.09201838);
+  t = t * (4.0 - m * t * t * t) * (1.0 / 3.0);
+  t = t * (4.0 - m * t * t * t) * (1.0 / 3.0);
+  t = t * (4.0 - m * t * t * t) * (1.0 / 3.0);
+  uint64_t pbits = (uint64_t)(q + 1023) << 52;  // exact 2^q
+  double p2;
+  std::memcpy(&p2, &pbits, 8);
+  double y = m * t * t * corr[r] * p2;
+  y -= (y * y * y - x) / (3.0 * y * y);
+  return y;
+}
+
+// x mod 2*pi into [-pi, pi] (vs fmod's sign-of-x (-2pi, 2pi)): every
+// consumer here is 2*pi-periodic (trig / Kepler's longitude), so the
+// branch-cut difference is immaterial; the 3-part constant keeps the
+// reduction exact-grade. ~6 ns vs 40-160 ns glibc fmod.
+inline double reduce_twopi(double x) {
+  const double kd = std::nearbyint(x * INV_TWOPI);
+  double r = x - kd * TP_1;
+  r -= kd * TP_2;
+  r -= kd * TP_3;
+  return r;
+}
 
 // dspace: resonance integration + deep secular (ops/scalar.py:511-596)
 void dspace(const double* s, double t, double& em, double& argpm,
@@ -26,7 +142,7 @@ void dspace(const double* s, double t, double& em, double& argpm,
   const double rptim = 4.37526908801129966e-3;
   const double stepp = 720.0, stepn = -720.0, step2 = 259200.0;
 
-  const double theta = std::fmod(s[GSTO] + t * rptim, TWOPI);
+  const double theta = reduce_twopi(s[GSTO] + t * rptim);
   em += s[DEDT] * t;
   inclm += s[DIDT] * t;
   argpm += s[DOMDT] * t;
@@ -45,39 +161,39 @@ void dspace(const double* s, double t, double& em, double& argpm,
     double xndt = 0.0, xldot = 0.0, xnddt = 0.0, ft = 0.0;
     for (;;) {
       if (s[IREZ] != 2.0) {
-        xndt = s[DEL1] * std::sin(xli - fasx2)
-             + s[DEL2] * std::sin(2.0 * (xli - fasx4))
-             + s[DEL3] * std::sin(3.0 * (xli - fasx6));
+        double s1_, c1_, s2_, c2_, s3_, c3_;
+        fast_sincos(xli - fasx2, &s1_, &c1_);
+        fast_sincos(2.0 * (xli - fasx4), &s2_, &c2_);
+        fast_sincos(3.0 * (xli - fasx6), &s3_, &c3_);
+        xndt = s[DEL1] * s1_ + s[DEL2] * s2_ + s[DEL3] * s3_;
         xldot = xni + s[XFACT];
-        xnddt = s[DEL1] * std::cos(xli - fasx2)
-              + 2.0 * s[DEL2] * std::cos(2.0 * (xli - fasx4))
-              + 3.0 * s[DEL3] * std::cos(3.0 * (xli - fasx6));
+        xnddt = s[DEL1] * c1_ + 2.0 * s[DEL2] * c2_ + 3.0 * s[DEL3] * c3_;
         xnddt *= xldot;
       } else {
         const double xomi = s[ARGPO] + s[ARGPDOT] * atime;
         const double x2omi = xomi + xomi;
         const double x2li = xli + xli;
-        xndt = s[D2201] * std::sin(x2omi + xli - g22)
-             + s[D2211] * std::sin(xli - g22)
-             + s[D3210] * std::sin(xomi + xli - g32)
-             + s[D3222] * std::sin(-xomi + xli - g32)
-             + s[D4410] * std::sin(x2omi + x2li - g44)
-             + s[D4422] * std::sin(x2li - g44)
-             + s[D5220] * std::sin(xomi + xli - g52)
-             + s[D5232] * std::sin(-xomi + xli - g52)
-             + s[D5421] * std::sin(xomi + x2li - g54)
-             + s[D5433] * std::sin(-xomi + x2li - g54);
+        double sa, ca, sb, cb2, sc, cc, sd, cd, se, ce;
+        double sf, cf, sg, cg, sh, ch, si_, ci, sj, cj;
+        fast_sincos(x2omi + xli - g22, &sa, &ca);
+        fast_sincos(xli - g22, &sb, &cb2);
+        fast_sincos(xomi + xli - g32, &sc, &cc);
+        fast_sincos(-xomi + xli - g32, &sd, &cd);
+        fast_sincos(x2omi + x2li - g44, &se, &ce);
+        fast_sincos(x2li - g44, &sf, &cf);
+        fast_sincos(xomi + xli - g52, &sg, &cg);
+        fast_sincos(-xomi + xli - g52, &sh, &ch);
+        fast_sincos(xomi + x2li - g54, &si_, &ci);
+        fast_sincos(-xomi + x2li - g54, &sj, &cj);
+        xndt = s[D2201] * sa + s[D2211] * sb + s[D3210] * sc
+             + s[D3222] * sd + s[D4410] * se + s[D4422] * sf
+             + s[D5220] * sg + s[D5232] * sh + s[D5421] * si_
+             + s[D5433] * sj;
         xldot = xni + s[XFACT];
-        xnddt = s[D2201] * std::cos(x2omi + xli - g22)
-              + s[D2211] * std::cos(xli - g22)
-              + s[D3210] * std::cos(xomi + xli - g32)
-              + s[D3222] * std::cos(-xomi + xli - g32)
-              + s[D5220] * std::cos(xomi + xli - g52)
-              + s[D5232] * std::cos(-xomi + xli - g52)
-              + 2.0 * (s[D4410] * std::cos(x2omi + x2li - g44)
-                       + s[D4422] * std::cos(x2li - g44)
-                       + s[D5421] * std::cos(xomi + x2li - g54)
-                       + s[D5433] * std::cos(-xomi + x2li - g54));
+        xnddt = s[D2201] * ca + s[D2211] * cb2 + s[D3210] * cc
+              + s[D3222] * cd + s[D5220] * cg + s[D5232] * ch
+              + 2.0 * (s[D4410] * ce + s[D4422] * cf
+                       + s[D5421] * ci + s[D5433] * cj);
         xnddt *= xldot;
       }
       if (std::fabs(t - atime) >= stepp) {
@@ -111,10 +227,11 @@ void dpper(const double* s, double t, double& ep, double& inclp,
   const double znl = 1.5835218e-4, zel = 0.05490;
 
   double zm = s[ZMOS] + zns * t;
-  double zf = zm + 2.0 * zes * std::sin(zm);
-  double sinzf = std::sin(zf);
+  double zf = zm + 2.0 * zes * fast_sin(zm);
+  double sinzf, coszf;
+  fast_sincos(zf, &sinzf, &coszf);
   double f2 = 0.5 * sinzf * sinzf - 0.25;
-  double f3 = -0.5 * sinzf * std::cos(zf);
+  double f3 = -0.5 * sinzf * coszf;
   const double ses = s[SE2] * f2 + s[SE3] * f3;
   const double sis = s[SI2] * f2 + s[SI3] * f3;
   const double sls = s[SL2] * f2 + s[SL3] * f3 + s[SL4] * sinzf;
@@ -122,10 +239,10 @@ void dpper(const double* s, double t, double& ep, double& inclp,
   const double shs = s[SH2] * f2 + s[SH3] * f3;
 
   zm = s[ZMOL] + znl * t;
-  zf = zm + 2.0 * zel * std::sin(zm);
-  sinzf = std::sin(zf);
+  zf = zm + 2.0 * zel * fast_sin(zm);
+  fast_sincos(zf, &sinzf, &coszf);
   f2 = 0.5 * sinzf * sinzf - 0.25;
-  f3 = -0.5 * sinzf * std::cos(zf);
+  f3 = -0.5 * sinzf * coszf;
   const double sel = s[EE2] * f2 + s[E3] * f3;
   const double sil = s[XI2] * f2 + s[XI3] * f3;
   const double sll = s[XL2] * f2 + s[XL3] * f3 + s[XL4] * sinzf;
@@ -140,8 +257,8 @@ void dpper(const double* s, double t, double& ep, double& inclp,
 
   inclp += pinc;
   ep += pe;
-  const double sinip = std::sin(inclp);
-  const double cosip = std::cos(inclp);
+  double sinip, cosip;
+  fast_sincos(inclp, &sinip, &cosip);
   if (inclp >= 0.2) {
     ph /= sinip;
     pgh -= cosip * ph;
@@ -150,8 +267,8 @@ void dpper(const double* s, double t, double& ep, double& inclp,
     mp += pl;
   } else {
     // Lyddane modification ('i' operation mode)
-    const double sinop = std::sin(nodep);
-    const double cosop = std::cos(nodep);
+    double sinop, cosop;
+    fast_sincos(nodep, &sinop, &cosop);
     double alfdp = sinip * sinop;
     double betdp = sinip * cosop;
     alfdp += ph * cosop + pinc * cosip * sinop;
@@ -183,6 +300,7 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
   for (int i = 0; i < 6; ++i) out6[i] = 0.0;
   const double temp4 = 1.5e-12;
   const double vkmpersec = s[RADIUSEARTHKM] * s[XKE] / 60.0;
+  const double inv_xke = 1.0 / s[XKE];
   const double t = tsince;
 
   const double xmdf = s[MO] + s[MDOT] * t;
@@ -198,7 +316,7 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
 
   if (s[ISIMP] != 1.0) {
     const double delomg = s[OMGCOF] * t;
-    const double delmtemp = 1.0 + s[ETA] * std::cos(xmdf);
+    const double delmtemp = 1.0 + s[ETA] * fast_cos(xmdf);
     const double delm =
         s[XMCOF] * (delmtemp * delmtemp * delmtemp - s[DELMO]);
     const double temp = delomg + delm;
@@ -207,7 +325,7 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
     const double t3 = t2 * t;
     const double t4 = t3 * t;
     tempa = tempa - s[D2] * t2 - s[D3] * t3 - s[D4] * t4;
-    tempe = tempe + s[BSTAR] * s[CC5] * (std::sin(mm) - s[SINMAO]);
+    tempe = tempe + s[BSTAR] * s[CC5] * (fast_sin(mm) - s[SINMAO]);
     templ = templ + s[T3COF] * t3 + t4 * (s[T4COF] + t * s[T5COF]);
   }
 
@@ -220,7 +338,7 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
   if (nm <= 0.0) return 2;
   // x^(2/3) = cbrt(x)^2 and x^1.5 = x*sqrt(x): each replaces a generic
   // ~100 ns pow call; differs from pow by <=2 ulp (parity gate 1e-9 km)
-  const double cb = std::cbrt(s[XKE] / nm);
+  const double cb = fast_cbrt(s[XKE] / nm);
   const double am = cb * cb * tempa * tempa;
   nm = s[XKE] / (am * std::sqrt(am));
   em -= tempe;
@@ -229,18 +347,26 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
   mm += s[NO_UNKOZAI] * templ;
   double xlm = mm + argpm + nodem;
 
-  nodem = std::fmod(nodem, TWOPI);
-  argpm = std::fmod(argpm, TWOPI);
-  xlm = std::fmod(xlm, TWOPI);
-  mm = std::fmod(xlm - argpm - nodem, TWOPI);
+  // reduce_twopi's [-pi, pi] branch cut (vs fmod's sign-of-x) shifts
+  // these by at most one 2*pi; for argpm/xlm/mm every downstream
+  // consumer is 2*pi-periodic (trig, Kepler's longitude) or cancels
+  // the shift (nodep in xl - nodep, Lyddane's xls - cosip*nodep
+  // pair). nodem is the one exception: dpper's Lyddane branch
+  // consumes nodep NON-periodically via the `- pinc * nodep * sinip`
+  // term in xls (a 2*pi shift there moved GEO positions ~2 m), so
+  // deep satellites keep fmod's exact branch cut.
+  nodem = s[DEEP] != 0.0 ? std::fmod(nodem, TWOPI) : reduce_twopi(nodem);
+  argpm = reduce_twopi(argpm);
+  xlm = reduce_twopi(xlm);
+  mm = reduce_twopi(xlm - argpm - nodem);
 
   double ep = em;
   double xincp = inclm;
   double argpp = argpm;
   double nodep = nodem;
   double mp = mm;
-  double sinip = std::sin(xincp);
-  double cosip = std::cos(xincp);
+  double sinip, cosip;
+  fast_sincos(xincp, &sinip, &cosip);
   double aycof = s[AYCOF];
   double xlcof = s[XLCOF];
   double con41 = s[CON41];
@@ -254,8 +380,7 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
       argpp -= M_PI;
     }
     if (ep < 0.0 || ep > 1.0) return 3;
-    sinip = std::sin(xincp);
-    cosip = std::cos(xincp);
+    fast_sincos(xincp, &sinip, &cosip);
     aycof = -0.5 * s[J3OJ2] * sinip;
     if (std::fabs(cosip + 1.0) > 1.5e-12)
       xlcof = -0.25 * s[J3OJ2] * sinip * (3.0 + 5.0 * cosip)
@@ -264,18 +389,19 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
       xlcof = -0.25 * s[J3OJ2] * sinip * (3.0 + 5.0 * cosip) / temp4;
   }
 
-  const double axnl = ep * std::cos(argpp);
+  double sargp, cargp;
+  fast_sincos(argpp, &sargp, &cargp);
+  const double axnl = ep * cargp;
   double temp = 1.0 / (am * (1.0 - ep * ep));
-  const double aynl = ep * std::sin(argpp) + temp * aycof;
+  const double aynl = ep * sargp + temp * aycof;
   const double xl = mp + argpp + nodep + temp * xlcof * axnl;
 
-  const double u = std::fmod(xl - nodep, TWOPI);
+  const double u = reduce_twopi(xl - nodep);
   double eo1 = u;
   double tem5 = 9999.9;
   double sineo1 = 0.0, coseo1 = 0.0;
   for (int ktr = 1; std::fabs(tem5) >= 1.0e-12 && ktr <= 10; ++ktr) {
-    sineo1 = std::sin(eo1);
-    coseo1 = std::cos(eo1);
+    fast_sincos(eo1, &sineo1, &coseo1);
     tem5 = 1.0 - coseo1 * axnl - sineo1 * aynl;
     tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / tem5;
     if (std::fabs(tem5) >= 0.95) tem5 = tem5 > 0.0 ? 0.95 : -0.95;
@@ -295,7 +421,6 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
   temp = esine / (1.0 + betal);
   const double sinu = am / rl * (sineo1 - aynl - axnl * temp);
   const double cosu = am / rl * (coseo1 - axnl + aynl * temp);
-  double su = std::atan2(sinu, cosu);
   const double sin2u = (cosu + cosu) * sinu;
   const double cos2u = 1.0 - 2.0 * sinu * sinu;
   temp = 1.0 / pl;
@@ -311,19 +436,32 @@ int astroz_scalar_sgp4(const double* s, double tsince, double* out6) {
 
   const double mrt = rl * (1.0 - 1.5 * temp2 * betal * con41)
                      + 0.5 * temp1 * x1mth2 * cos2u;
-  su -= 0.25 * temp2 * x7thm1 * sin2u;
   const double xnode = nodep + 1.5 * temp2 * cosip * sin2u;
   const double xinc = xincp + 1.5 * temp2 * cosip * sinip * cos2u;
-  const double mvt = rdotl - nm * temp1 * x1mth2 * sin2u / s[XKE];
+  // * inv_xke (hoisted reciprocal) replaces two serial ~20-cycle
+  // divides; x * (1/c) for these magnitudes differs from x / c by
+  // <=1 ulp — inside the 1e-9 km parity gate
+  const double mvt = rdotl - nm * temp1 * x1mth2 * sin2u * inv_xke;
   const double rvdot =
-      rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / s[XKE];
+      rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) * inv_xke;
 
-  const double sinsu = std::sin(su);
-  const double cossu = std::cos(su);
-  const double snod = std::sin(xnode);
-  const double cnod = std::cos(xnode);
-  const double sini = std::sin(xinc);
-  const double cosi = std::cos(xinc);
+  // su = atan2(sinu, cosu) - du: sinu/cosu ARE sin/cos of the true
+  // argument of latitude (unit-norm to ~1e-15 by construction), so
+  // sin/cos(su) follow from the angle-subtraction identity with a
+  // tiny-angle series for du (|du| <= ~1e-3 rad; du^7 term ~1e-26) —
+  // removing both the atan2 and one sincos (~40 ns/call). The
+  // explicit renormalization keeps parity with the scale-invariant
+  // atan2 formulation to <1 ulp.
+  const double du = 0.25 * temp2 * x7thm1 * sin2u;
+  const double du2 = du * du;
+  const double sdu = du * (1.0 - du2 * (1.0 / 6.0) * (1.0 - du2 * 0.05));
+  const double cdu = 1.0 - du2 * 0.5 * (1.0 - du2 * (1.0 / 12.0));
+  const double rn = 1.0 / std::sqrt(sinu * sinu + cosu * cosu);
+  const double sinsu = (sinu * cdu - cosu * sdu) * rn;
+  const double cossu = (cosu * cdu + sinu * sdu) * rn;
+  double snod, cnod, sini, cosi;
+  fast_sincos(xnode, &snod, &cnod);
+  fast_sincos(xinc, &sini, &cosi);
   const double xmx = -snod * cosi;
   const double xmy = cnod * cosi;
   const double ux = xmx * sinsu + cnod * cossu;

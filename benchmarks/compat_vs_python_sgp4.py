@@ -48,17 +48,22 @@ def main():
     # here the all-C SatCore path serves the same loop) --------------
     n_loop = 200_000
     sat.sgp4(jd, fr)  # builds + binds the native core
-    t0 = time.perf_counter()
-    for _ in range(n_loop):
-        sat.sgp4(jd, fr)
-    per_call = (time.perf_counter() - t0) / n_loop
+    per_call = 1e9
+    for _ in range(5):  # best-of-5: this box's scheduler noise is +-30%
+        t0 = time.perf_counter()
+        for _ in range(n_loop):
+            sat.sgp4(jd, fr)
+        per_call = min(per_call, (time.perf_counter() - t0) / n_loop)
     print(f"sat.sgp4() loop:  {1.0 / per_call / 1e6:.2f}M props/s "
           f"({per_call * 1e9:.0f} ns/call)")
     if sat._scalar_native is not None:
         t_arr = np.linspace(0.0, 1440.0, 1_000_000)
-        t0 = time.perf_counter()
-        e_a, r_a, v_a = sat._scalar_native.sgp4_array(t_arr)
-        per_pt = (time.perf_counter() - t0) / t_arr.size
+        per_pt = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            e_a, r_a, v_a = sat._scalar_native.sgp4_array(t_arr)
+            per_pt = min(per_pt,
+                         (time.perf_counter() - t0) / t_arr.size)
         print(f"C array loop:     {1.0 / per_pt / 1e6:.2f}M props/s "
               f"({per_pt * 1e9:.0f} ns/point)")
 
