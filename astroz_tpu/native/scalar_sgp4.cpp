@@ -33,10 +33,16 @@ constexpr double INV_PIO2 = 6.36619772367581382433e-01;  // 2/pi
 constexpr double PIO2_1 = 1.57079632673412561417e+00;
 constexpr double PIO2_2 = 6.07710050630396597660e-11;
 constexpr double PIO2_3 = 2.02226624879595063154e-21;
-// 2*pi = 4*(P1 + P2 + P3): exact power-of-two scaling of the splits
-constexpr double TP_1 = 4.0 * PIO2_1;
-constexpr double TP_2 = 4.0 * PIO2_2;
-constexpr double TP_3 = 4.0 * PIO2_3;
+// reduce_twopi must reduce by the DOUBLE constant TWOPI — not real
+// 2*pi — to stay parity-equivalent with the oracle's fmod(x, TWOPI)
+// (python-sgp4 semantics): the modulus difference delta ~ 4.4e-16
+// grows as k*delta, i.e. ~1.3e-12 rad (5e-9 km) at 1-year horizons.
+// Exact split: TP_HI (top 26 bits) + TP_LO == TWOPI bit-for-bit, so
+// x - k*TP_HI - k*TP_LO reproduces fmod's remainder (verified
+// bit-exact mod 2*pi over 1e5 random year-scale args).
+constexpr double TP_HI = 6.283185243606567;
+constexpr double TP_LO = 6.357301884918343e-08;
+static_assert(TP_HI + TP_LO == TWOPI, "split must reproduce TWOPI");
 constexpr double INV_TWOPI = 1.59154943091895335769e-01;  // 1/(2*pi)
 
 constexpr double S1 = -1.66666666666666324348e-01;
@@ -127,9 +133,8 @@ inline double fast_cbrt(double x) {
 // reduction exact-grade. ~6 ns vs 40-160 ns glibc fmod.
 inline double reduce_twopi(double x) {
   const double kd = std::nearbyint(x * INV_TWOPI);
-  double r = x - kd * TP_1;
-  r -= kd * TP_2;
-  r -= kd * TP_3;
+  double r = x - kd * TP_HI;
+  r -= kd * TP_LO;
   return r;
 }
 

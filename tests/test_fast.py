@@ -384,8 +384,11 @@ class TestResonanceWindow:
         # (b) the sequential table build — the same O(horizon/720)
         # integration the reference's carry performs once per sweep —
         # must scale at most linearly in depth (16x steps here; allow
-        # 2x slack for loop-overhead noise)
-        assert build_1yr < 32.0 * build_30d + 0.01, (
+        # 2x slack for loop-overhead noise plus a 50 ms additive floor:
+        # under full-suite load a single scheduler/GC pause on the
+        # 1-core CI box exceeds the old 10 ms floor and flaked this
+        # test while the 400x-regression it guards is ~seconds-scale)
+        assert build_1yr < 32.0 * build_30d + 0.05, (
             build_30d, build_1yr)
 
     def test_propagate_one_year_deep(self):
