@@ -15,12 +15,20 @@ import time
 import numpy as np
 
 BASELINE_PROPS_PER_S = 303e6  # reference: 16-thread AVX-512 CPU
-N_SATS = 13478
-N_TIMES = 1440
+N_SATS = int(os.environ.get("ASTROZ_BENCH_SATS", "13478"))
+N_TIMES = int(os.environ.get("ASTROZ_BENCH_TIMES", "1440"))
 #: scenario repetitions per dispatched program (default 1: larger grids
 #: trade dispatch overhead for HBM copy pressure and measured no better;
 #: env-tunable for experiments)
 INNER_REPS = int(os.environ.get("ASTROZ_BENCH_INNER", "1"))
+#: looped mode (default): run K sweeps inside ONE device program via
+#: lax.fori_loop, so per-program dispatch/tunnel overhead is paid once
+#: per measurement instead of once per sweep. This matches how the
+#: reference measures its 303M number — an in-process C loop over
+#: sweeps with zero per-sweep IPC (zig_sgp4_bench.zig) — where our
+#: per-sweep jit dispatch crosses a network tunnel to the dev chip.
+#: Set ASTROZ_BENCH_MODE=dispatch for the per-sweep-dispatch variant.
+BENCH_MODE = os.environ.get("ASTROZ_BENCH_MODE", "looped")
 
 
 def synthetic_catalog_text(n: int) -> str:
@@ -114,7 +122,7 @@ def main_mesh():
 
     props_per_s = N_SATS * N_TIMES / elapsed
     print(json.dumps({
-        "metric": f"constellation_13478x1440_props_per_s_mesh{len(devices)}",
+        "metric": f"constellation_{N_SATS}x{N_TIMES}_props_per_s_mesh{len(devices)}",
         "value": round(props_per_s, 1),
         "unit": "props/s",
         "vs_baseline": round(props_per_s / BASELINE_PROPS_PER_S, 4),
@@ -123,6 +131,15 @@ def main_mesh():
 
 def main():
     import jax
+
+    # ASTROZ_BENCH_PLATFORM=cpu for the CI smoke: the axon plugin's
+    # sitecustomize boot force-updates jax_platforms to "axon,cpu" at
+    # interpreter start, CLOBBERING a JAX_PLATFORMS=cpu env var — only
+    # a post-import config.update sticks (a dead tunnel then hangs
+    # jax.devices() for any env-var-only selection)
+    plat = os.environ.get("ASTROZ_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     import astroz_tpu  # noqa: F401  (enables x64)
@@ -191,19 +208,59 @@ def main():
         r, v, e = outs[-1]
         np.asarray(r[:1, :1, :1])
 
+    import functools
+
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_looped(ts, js, k):
+        """K sweeps in one device program. The optimization_barrier
+        threads the previous sweep's probe value into each iteration's
+        time-array operand, so XLA can neither hoist the (otherwise
+        loop-invariant) sweep out of the fori_loop nor dead-code
+        earlier iterations; ts_b's VALUE is exactly ts, so the physics
+        is untouched. Every iteration materializes the full (3, T, N)
+        r/v planes in HBM, same as the dispatch mode."""
+        shapes = jax.eval_shape(lambda a, b: run_chunk(a, b), ts, js)
+        outs0 = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+        probe0 = jnp.zeros((), outs0[0].dtype)
+
+        def body(_, carry):
+            probe, _outs = carry
+            ts_b, probe_b = lax.optimization_barrier((ts, probe))
+            outs = run_chunk(ts_b, js)
+            del probe_b
+            return outs[0][0, 0, 0], outs
+
+        return lax.fori_loop(0, k, body, (probe0, outs0))
+
     fetch([run_chunk(ts, js) for ts, js in chunks])  # warmup / compile
 
     # slope method: wall(K) = fixed_overhead + K * t_exec, so the
     # difference of two run lengths isolates true per-sweep time
-    def run_reps(k):
-        t0 = time.perf_counter()
-        last = None
-        for _ in range(k):
-            for ts, js in chunks:
-                last = run_chunk(ts, js)  # earlier outputs freed: HBM
-                # holds at most two sweeps' buffers at a time
-        fetch([last])
-        return time.perf_counter() - t0
+    if BENCH_MODE == "looped":
+        ts0, js0 = chunks[0]
+        # compile both loop lengths before timing
+        for k in (2, 6):
+            np.asarray(run_looped(ts0, js0, k)[0])
+
+        def run_reps(k):
+            t0 = time.perf_counter()
+            probe, outs = run_looped(ts0, js0, k)
+            np.asarray(probe)
+            fetch([outs])
+            return time.perf_counter() - t0
+    else:
+        def run_reps(k):
+            t0 = time.perf_counter()
+            last = None
+            for _ in range(k):
+                for ts, js in chunks:
+                    last = run_chunk(ts, js)  # earlier outputs freed:
+                    # HBM holds at most two sweeps' buffers at a time
+            fetch([last])
+            return time.perf_counter() - t0
 
     # slope of per-K minimum walls: the tunnel to the dev chip stalls
     # for hundreds of ms at random (measured rate swings 1.3-2.2G
@@ -232,10 +289,12 @@ def main():
     # code swings 1.3x within minutes), so sample up to 5 windows
     # ~40 s apart and keep the best; stop early once a window shows
     # the known-good device rate (the fused-merge path measured 2.83G
-    # in a clean window)
+    # in a clean window). Window retries are a tunnel artifact — on
+    # CPU (CI smoke) one window is the honest answer.
     good_elapsed = N_SATS * N_TIMES * INNER_REPS / 2.6e9
+    on_tpu = jax.devices()[0].platform == "tpu"
     elapsed = measure()
-    for _ in range(4):
+    for _ in range(4 if on_tpu else 0):
         if elapsed <= good_elapsed:
             break
         time.sleep(40)
@@ -244,7 +303,7 @@ def main():
     props = N_SATS * N_TIMES * INNER_REPS
     props_per_s = props / elapsed
     print(json.dumps({
-        "metric": "constellation_13478x1440_props_per_s",
+        "metric": f"constellation_{N_SATS}x{N_TIMES}_props_per_s",
         "value": round(props_per_s, 1),
         "unit": "props/s",
         "vs_baseline": round(props_per_s / BASELINE_PROPS_PER_S, 4),
