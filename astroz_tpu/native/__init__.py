@@ -48,8 +48,12 @@ def _build() -> bool:
         # inline sqrtsd + fused sincos calls (results unchanged, the
         # parity fuzz gates stay exact); -march=native is safe because
         # the .so is a per-machine build artifact (gitignored)
-        flags = ["-O3", "-march=native", "-fno-math-errno", "-shared",
-                 "-fPIC"]
+        # -fopenmp-simd: honor `#pragma omp simd` (forces if-conversion
+        # + vectorization of the 8-wide sgp4 lane loops) without any
+        # OpenMP runtime dependency
+        flags = ["-O3", "-march=native", "-fno-math-errno",
+                 "-fopenmp-simd", "-mprefer-vector-width=512",
+                 "-shared", "-fPIC"]
         cmd = ["g++", *flags, "-std=c++17", _SRC, _SRC2, _SRC3, _SRC4,
                "-o", _SO]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)

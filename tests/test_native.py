@@ -215,3 +215,56 @@ def test_native_scalar_parity_all_regimes():
             if e1 == 0:
                 for a, b in zip(r1 + v1, r2 + v2):
                     assert a == b or abs(a - b) < gate, (a, b, no, ecc, t)
+
+
+def test_sgp4_array_simd_parity():
+    """The 8-wide masked-dense SIMD batch (scalar_sgp4.cpp
+    sgp4_block_ne) matches the per-point scalar engine lane for lane:
+    error codes exactly, positions/velocities to 1e-9 km (measured
+    ~5e-12; the masked Kepler freezes converged lanes exactly where
+    the scalar early-exit loop stops). Covers non-multiple-of-8 tails,
+    error lanes (decayed orbits), and the deep-space scalar fallback."""
+    import math
+
+    import numpy as np
+
+    from astroz_tpu import native
+    from astroz_tpu.ops import scalar as sc
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(11)
+    sats = []
+    for k in range(12):  # LEO mix incl. isimp + heavy drag (error lanes)
+        no = rng.uniform(11.0, 16.45) * 2 * math.pi / 1440
+        ecc = rng.uniform(1e-4, 0.1)
+        bstar = 2e-3 if k % 4 == 0 else float(rng.uniform(-1e-5, 3e-4))
+        sats.append(sc.sgp4init(
+            sc.wgs72() if k % 2 else sc.wgs84(), 2460310.5, bstar, ecc,
+            float(rng.uniform(0, 2 * math.pi)),
+            float(rng.uniform(0.0, 1.8)),
+            float(rng.uniform(0, 2 * math.pi)), no,
+            float(rng.uniform(0, 2 * math.pi))))
+    # deep fallback: GEO-like
+    sats.append(sc.sgp4init(sc.wgs72(), 2460310.5, 0.0, 3e-4, 0.3,
+                            0.01, 1.0, 1.0027 * 2 * math.pi / 1440, 2.0))
+
+    t = np.linspace(-1440.0, 40000.0, 203)  # odd count: tail block
+    n_err_lanes = 0
+    for sat in sats:
+        eng = native.scalar_engine(sat)
+        assert eng is not None
+        ea, ra, va = eng.sgp4_array(t)
+        for j, tj in enumerate(t):
+            e2, r2, v2 = eng.sgp4(float(tj))
+            assert ea[j] == e2, (ea[j], e2, tj)
+            n_err_lanes += e2 != 0
+            if e2 == 0:
+                for a, b in zip(list(ra[j]) + list(va[j]),
+                                list(r2) + list(v2)):
+                    assert a == b or abs(a - b) < 1e-9, (a, b, tj)
+            else:  # error lanes zero-filled on both paths
+                assert not ra[j].any() and not va[j].any()
+    assert n_err_lanes > 0  # the decayed orbits must exercise errors
