@@ -127,5 +127,5 @@ def test_bench_mesh_smoke(monkeypatch, capsys):
     bench.main_mesh()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
-    assert rec["metric"] == "constellation_13478x1440_props_per_s_mesh8"
+    assert rec["metric"] == "constellation_512x32_props_per_s_mesh8"
     assert rec["value"] > 0
