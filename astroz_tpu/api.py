@@ -387,9 +387,21 @@ class SatrecArray:
         """Returns (e, r, v) with shapes (n_sats, n_times),
         (n_sats, n_times, 3), (n_sats, n_times, 3); ``v`` is None when
         ``velocities=False`` (reference api.py:23,249-359)."""
+        jd = np.asarray(jd, np.float64)
+        fr = np.asarray(fr, np.float64)
+        import jax
+        if jax.devices()[0].platform == "cpu":
+            # CPU backend: the native 8-wide SIMD batch engine
+            # (~8M props/s/core) beats the XLA:CPU f64 program ~8x —
+            # the CPU shape of the reference's SatrecArray SIMD path
+            # (satrec.zig:896-988); per-satrec engines also preserve
+            # mixed gravity models exactly
+            out = self._sgp4_native(jd, fr)
+            if out is not None:
+                e, r, v = out
+                return (e, r, v) if velocities else (e, r)
         from .propagation import propagate
-        r, v, err = propagate(self._cat, np.asarray(jd, np.float64),
-                              np.asarray(fr, np.float64),
+        r, v, err = propagate(self._cat, jd, fr,
                               velocities=velocities, layout="sat_major",
                               method=self._method)
         e = np.asarray(err)
@@ -398,6 +410,29 @@ class SatrecArray:
         if velocities:
             return e, r, v
         return e, r
+
+    def _sgp4_native(self, jd: np.ndarray, fr: np.ndarray):
+        """All-native (n_sats, n_times) sweep through each satrec's C++
+        SIMD engine; None when any engine is unavailable (no compiler)
+        so the caller falls back to the XLA path."""
+        n_t = jd.shape[0]
+        n_s = len(self._satrecs)
+        e = np.zeros((n_s, n_t), np.int32)
+        r = np.zeros((n_s, n_t, 3), np.float64)
+        v = np.zeros((n_s, n_t, 3), np.float64)
+        for i, s in enumerate(self._satrecs):
+            if s._init_err:
+                e[i] = s._init_err  # zero-filled outputs, batch parity
+                continue
+            s._scalar_record()  # builds + caches the native engine
+            eng = s._scalar_native
+            if eng is None:
+                return None
+            t = ((jd - s.jdsatepoch) + (fr - s.jdsatepochF)) \
+                * MINUTES_PER_DAY
+            ei, ri, vi = eng.sgp4_array(t)
+            e[i], r[i], v[i] = ei, ri, vi
+        return e, r, v
 
     def sgp4_into(self, jd: np.ndarray, fr: np.ndarray,
                   r_out: np.ndarray, v_out: Optional[np.ndarray] = None,
@@ -410,15 +445,16 @@ class SatrecArray:
         ``e_out`` ``(n_sats, n_times)`` — results are copied host-side
         into them (the device result crosses to the host exactly once;
         TPU memory is not host-mappable, so a literal zero-copy into a
-        user buffer does not exist on this backend)."""
-        from .propagation import propagate
-        r, v, err = propagate(self._cat, np.asarray(jd, np.float64),
-                              np.asarray(fr, np.float64),
-                              velocities=v_out is not None,
-                              layout="sat_major", method=self._method)
+        user buffer does not exist on this backend). Delegates to
+        :meth:`sgp4` so both entries share the same engine choice
+        (native SIMD on the CPU backend, device kernels otherwise)."""
+        out = self.sgp4(np.asarray(jd, np.float64),
+                        np.asarray(fr, np.float64),
+                        velocities=v_out is not None)
+        err, r = out[0], out[1]
         np.copyto(r_out, np.asarray(r))
         if v_out is not None:
-            np.copyto(v_out, np.asarray(v))
+            np.copyto(v_out, np.asarray(out[2]))
         if e_out is not None:
             np.copyto(e_out, np.asarray(err))
 
