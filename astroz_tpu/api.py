@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -414,24 +416,39 @@ class SatrecArray:
     def _sgp4_native(self, jd: np.ndarray, fr: np.ndarray):
         """All-native (n_sats, n_times) sweep through each satrec's C++
         SIMD engine; None when any engine is unavailable (no compiler)
-        so the caller falls back to the XLA path."""
+        so the caller falls back to the XLA path. Threads over
+        satellite ranges when the host has cores to spare — the ctypes
+        call releases the GIL, so this is the reference's 16-thread
+        SatrecArray scaling (Constellation.zig:360-382) in Python."""
         n_t = jd.shape[0]
         n_s = len(self._satrecs)
         e = np.zeros((n_s, n_t), np.int32)
         r = np.zeros((n_s, n_t, 3), np.float64)
         v = np.zeros((n_s, n_t, 3), np.float64)
-        for i, s in enumerate(self._satrecs):
+        for s in self._satrecs:   # bind engines up front (not thread-safe)
+            if not s._init_err:
+                s._scalar_record()
+                if s._scalar_native is None:
+                    return None
+
+        def sweep(i):
+            s = self._satrecs[i]
             if s._init_err:
                 e[i] = s._init_err  # zero-filled outputs, batch parity
-                continue
-            s._scalar_record()  # builds + caches the native engine
-            eng = s._scalar_native
-            if eng is None:
-                return None
+                return
             t = ((jd - s.jdsatepoch) + (fr - s.jdsatepochF)) \
                 * MINUTES_PER_DAY
-            ei, ri, vi = eng.sgp4_array(t)
+            ei, ri, vi = s._scalar_native.sgp4_array(t)
             e[i], r[i], v[i] = ei, ri, vi
+
+        n_workers = min(os.cpu_count() or 1, n_s, 16)
+        if n_workers > 1 and n_s * n_t >= 10_000:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(n_workers) as pool:
+                list(pool.map(sweep, range(n_s)))
+        else:
+            for i in range(n_s):
+                sweep(i)
         return e, r, v
 
     def sgp4_into(self, jd: np.ndarray, fr: np.ndarray,
