@@ -36,6 +36,7 @@ typedef struct {
   double jdsatepochF;
   double t;     /* minutes since epoch of the last call */
   int error;    /* python-sgp4 error code of the last call */
+  PyObject* last;  /* cached result tuple for refcnt-1 reuse */
 } SatCore;
 
 static PyObject* build_result(int e, const double* o) {
@@ -54,6 +55,58 @@ static PyObject* build_result(int e, const double* o) {
   PyTuple_SET_ITEM(r, 1, rv);
   PyTuple_SET_ITEM(r, 2, vv);
   return r;
+}
+
+/* Overwrite the 3 floats of an inner tuple in place where they are
+ * exclusively owned (refcnt 1, exact float) — the zip()-style result
+ * reuse: a hot `for _: sat.sgp4(jd, fr)` loop discards each result,
+ * so steady state does ZERO allocations. Falls back to fresh floats
+ * per slot otherwise. Returns 0 on success, -1 on alloc failure. */
+static int refill_triple(PyObject* tup, const double* o) {
+  for (int i = 0; i < 3; ++i) {
+    PyObject* f = PyTuple_GET_ITEM(tup, i);
+    if (f && PyFloat_CheckExact(f) && Py_REFCNT(f) == 1) {
+      ((PyFloatObject*)f)->ob_fval = o[i];
+    } else {
+      PyObject* nf = PyFloat_FromDouble(o[i]);
+      if (!nf) return -1;
+      PyTuple_SET_ITEM(tup, i, nf);  /* steals nf */
+      Py_XDECREF(f);
+    }
+  }
+  return 0;
+}
+
+/* Build (e, (x,y,z), (vx,vy,vz)) reusing self->last when the caller
+ * discarded the previous result (all refcounts back to 1). */
+static PyObject* core_result(SatCore* self, int e, const double* o) {
+  PyObject* r = self->last;
+  if (r && Py_REFCNT(r) == 1) {
+    PyObject* rv = PyTuple_GET_ITEM(r, 1);
+    PyObject* vv = PyTuple_GET_ITEM(r, 2);
+    if (rv && vv && Py_REFCNT(rv) == 1 && Py_REFCNT(vv) == 1 &&
+        PyTuple_CheckExact(rv) && PyTuple_CheckExact(vv)) {
+      PyObject* e_old = PyTuple_GET_ITEM(r, 0);
+      if (!e_old || !PyLong_CheckExact(e_old) ||
+          PyLong_AsLong(e_old) != (long)e) {
+        PyObject* ne = PyLong_FromLong(e);
+        if (!ne) return NULL;
+        PyTuple_SET_ITEM(r, 0, ne);
+        Py_XDECREF(e_old);
+      }
+      double vo[3] = {o[3], o[4], o[5]};
+      if (refill_triple(rv, o) < 0 || refill_triple(vv, vo) < 0)
+        return NULL;
+      Py_INCREF(r);
+      return r;
+    }
+  }
+  PyObject* fresh = build_result(e, o);
+  if (!fresh) return NULL;
+  Py_XDECREF(self->last);
+  self->last = fresh;
+  Py_INCREF(fresh);  /* one ref cached, one returned */
+  return fresh;
 }
 
 /* core.sgp4(jd, fr) -> (e, (x,y,z), (vx,vy,vz)) — full python-sgp4
@@ -82,7 +135,7 @@ static PyObject* satcore_sgp4(SatCore* self, PyObject* const* args,
   int e = astroz_scalar_sgp4(self->vec, tsince, out);
   self->t = tsince;
   self->error = e;
-  return build_result(e, out);
+  return core_result(self, e, out);
 }
 
 /* core.sgp4_tsince(tsince_min) — python-sgp4 parity entry. */
@@ -103,7 +156,7 @@ static PyObject* satcore_sgp4_tsince(SatCore* self, PyObject* const* args,
   int e = astroz_scalar_sgp4(self->vec, tsince, out);
   self->t = tsince;
   self->error = e;
-  return build_result(e, out);
+  return core_result(self, e, out);
 }
 
 static PyMethodDef satcore_methods[] = {
@@ -140,7 +193,13 @@ static int satcore_init(SatCore* self, PyObject* args, PyObject* kwds) {
   self->jdsatepochF = epf;
   self->t = 0.0;
   self->error = 0;
+  Py_CLEAR(self->last);
   return 0;
+}
+
+static void satcore_dealloc(SatCore* self) {
+  Py_CLEAR(self->last);
+  Py_TYPE(self)->tp_free((PyObject*)self);
 }
 
 static PyTypeObject SatCoreType = {
@@ -153,6 +212,7 @@ static PyTypeObject SatCoreType = {
     .tp_members = satcore_members,
     .tp_init = (initproc)satcore_init,
     .tp_new = PyType_GenericNew,
+    .tp_dealloc = (destructor)satcore_dealloc,
 };
 
 /* propagate(vec_addr: int, tsince: float) -> (e, (x,y,z), (vx,vy,vz))

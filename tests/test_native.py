@@ -268,3 +268,43 @@ def test_sgp4_array_simd_parity():
             else:  # error lanes zero-filled on both paths
                 assert not ra[j].any() and not va[j].any()
     assert n_err_lanes > 0  # the decayed orbits must exercise errors
+
+
+def test_satcore_result_reuse_semantics():
+    """The SatCore extension reuses its result tuple zip()-style when
+    the caller discarded the previous result (steady-state loops do
+    zero allocations). Results the caller KEEPS — outer tuple, inner
+    tuples, extracted floats — must never be mutated by later calls."""
+    from astroz_tpu.api import Satrec, WGS72, jday
+
+    L1 = ("1 25544U 98067A   24127.82853009  .00015698  00000+0"
+          "  27310-3 0  9995")
+    L2 = ("2 25544  51.6393 160.4574 0003580 140.6673 205.7250 "
+          "15.50957674452123")
+    sat = Satrec.twoline2rv(L1, L2, WGS72)
+    jd, fr = jday(2024, 5, 6, 12, 0, 0.0)
+    sat.sgp4(jd, fr)  # binds the native core (if available)
+
+    a = sat.sgp4(jd, fr)
+    b = sat.sgp4(jd, fr + 0.1)
+    assert a is not b
+    snap_a = (a[0], tuple(a[1]), tuple(a[2]))
+    sat.sgp4(jd, fr + 0.2)
+    assert (a[0], tuple(a[1]), tuple(a[2])) == snap_a
+
+    e1, r1, v1 = sat.sgp4(jd, fr)
+    r1c, v1c = tuple(r1), tuple(v1)
+    e2, r2, v2 = sat.sgp4(jd, fr + 0.3)
+    assert tuple(r1) == r1c and tuple(v1) == v1c
+    assert tuple(r2) != r1c
+
+    x = sat.sgp4(jd, fr)[1][0]
+    x0 = float(x)
+    sat.sgp4(jd, fr + 0.4)
+    assert float(x) == x0
+
+    # a discarded-result loop must still produce correct fresh values
+    vals = set()
+    for k in range(5):
+        vals.add(round(sat.sgp4(jd, fr + k / 100.0)[1][0], 6))
+    assert len(vals) == 5
