@@ -210,7 +210,9 @@ class Satrec:
 
     def _sgp4_many(self, jd: np.ndarray, fr: np.ndarray):
         n = len(jd)
-        if n >= 4096:
+        import jax
+        on_accel = jax.devices()[0].platform != "cpu"
+        if n >= 4096 and on_accel:
             # time-as-lanes: fold the time axis into both grid
             # dimensions so one satellite fills the VPU (the
             # reference's 1-sat x 8-times propagateN at TPU width)
@@ -237,8 +239,10 @@ class Satrec:
         if not int(self._cat.init_errors[0]):
             self._scalar_record()
             if self._scalar_native is not None:
-                # small arrays: one native C++ sweep (~0.5 us/point)
-                # beats a device dispatch round trip
+                # native C++ SIMD sweep (61 ns/point): beats a device
+                # dispatch round trip for small arrays, and beats the
+                # XLA:CPU f64 program outright, so on the CPU backend
+                # it serves every array size
                 tsince = ((jd - self.jdsatepoch)
                           + (fr - self.jdsatepochF)) * MINUTES_PER_DAY
                 err, r, v = self._scalar_native.sgp4_array(tsince)
