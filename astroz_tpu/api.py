@@ -424,35 +424,63 @@ class SatrecArray:
         satellite ranges when the host has cores to spare — the ctypes
         call releases the GIL, so this is the reference's 16-thread
         SatrecArray scaling (Constellation.zig:360-382) in Python."""
+        from . import native
+
         n_t = jd.shape[0]
         n_s = len(self._satrecs)
         e = np.zeros((n_s, n_t), np.int32)
         r = np.zeros((n_s, n_t, 3), np.float64)
         v = np.zeros((n_s, n_t, 3), np.float64)
-        for s in self._satrecs:   # bind engines up front (not thread-safe)
-            if not s._init_err:
+        if getattr(self, "_native_grid", None) is None:
+            # pack every healthy satellite's element vector ONCE —
+            # the whole (n_sats, n_times) sweep is then a single
+            # native crossing per thread, no per-satellite Python
+            ok, vec_rows, eps, epfs = [], [], [], []
+            for i, s in enumerate(self._satrecs):
+                if s._init_err:
+                    continue
                 s._scalar_record()
                 if s._scalar_native is None:
                     return None
-
-        def sweep(i):
-            s = self._satrecs[i]
+                ok.append(i)
+                vec_rows.append(s._scalar_native._vec)
+                eps.append(s.jdsatepoch)
+                epfs.append(s.jdsatepochF)
+            self._native_grid = (
+                np.asarray(ok, np.int64),
+                np.asarray(vec_rows, np.float64) if vec_rows
+                else np.zeros((0, len(native.SCALAR_FIELDS))),
+                np.asarray(eps), np.asarray(epfs))
+        ok, vecs, eps, epfs = self._native_grid
+        for i, s in enumerate(self._satrecs):
             if s._init_err:
                 e[i] = s._init_err  # zero-filled outputs, batch parity
-                return
-            t = ((jd - s.jdsatepoch) + (fr - s.jdsatepochF)) \
-                * MINUTES_PER_DAY
-            ei, ri, vi = s._scalar_native.sgp4_array(t)
-            e[i], r[i], v[i] = ei, ri, vi
+        if len(ok) == 0:
+            return e, r, v
+        tsince = ((jd[None, :] - eps[:, None])
+                  + (fr[None, :] - epfs[:, None])) * MINUTES_PER_DAY
+        n_ok = len(ok)
+        eo = np.empty((n_ok, n_t), np.int32)
+        ro = np.empty((n_ok, n_t, 3), np.float64)
+        vo = np.empty((n_ok, n_t, 3), np.float64)
 
-        n_workers = min(os.cpu_count() or 1, n_s, 16)
-        if n_workers > 1 and n_s * n_t >= 10_000:
+        def sweep(lo, hi):
+            out = native.sgp4_grid(vecs[lo:hi], tsince[lo:hi])
+            eo[lo:hi], ro[lo:hi], vo[lo:hi] = out
+
+        n_workers = min(os.cpu_count() or 1, n_ok, 16)
+        if n_workers > 1 and n_ok * n_t >= 10_000:
+            # the ctypes call releases the GIL: thread over satellite
+            # ranges (the reference's 16-thread batch-range loop,
+            # Constellation.zig:360-382)
             from concurrent.futures import ThreadPoolExecutor
+            bounds = np.linspace(0, n_ok, n_workers + 1).astype(int)
             with ThreadPoolExecutor(n_workers) as pool:
-                list(pool.map(sweep, range(n_s)))
+                list(pool.map(lambda k: sweep(bounds[k], bounds[k + 1]),
+                              range(n_workers)))
         else:
-            for i in range(n_s):
-                sweep(i)
+            sweep(0, n_ok)
+        e[ok], r[ok], v[ok] = eo, ro, vo
         return e, r, v
 
     def sgp4_into(self, jd: np.ndarray, fr: np.ndarray,

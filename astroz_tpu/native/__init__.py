@@ -108,6 +108,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_int)]
+            lib.astroz_sgp4_grid.restype = ctypes.c_longlong
+            lib.astroz_sgp4_grid.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.POINTER(ctypes.c_double),
+                ctypes.c_longlong, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int)]
             _LIB = lib
         except OSError:
             _LIB = None
@@ -284,6 +290,32 @@ def scalar_engine(sat) -> Optional[ScalarEngine]:
     if vec is None:
         return None
     return ScalarEngine(vec)
+
+
+def sgp4_grid(vecs: np.ndarray, tsince: np.ndarray
+              ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(n_sats, n_times) grid in ONE native crossing.
+
+    ``vecs`` is the packed element matrix ``(n_sats, len(SCALAR_FIELDS))``
+    (rows from :func:`pack_scalar_sat`); ``tsince`` is ``(n_sats,
+    n_times)`` minutes past each satellite's epoch. Returns ``(err, r,
+    v)`` shaped ``(n_sats, n_times)`` / ``(n_sats, n_times, 3)`` — or
+    None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    vecs = np.ascontiguousarray(vecs, np.float64)
+    tsince = np.ascontiguousarray(tsince, np.float64)
+    n_s, nf = vecs.shape
+    n_t = tsince.shape[1]
+    out = np.empty((n_s, n_t, 6), np.float64)
+    err = np.empty((n_s, n_t), np.int32)
+    lib.astroz_sgp4_grid(
+        vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_s, nf,
+        tsince.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_t,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        err.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return err, out[:, :, :3], out[:, :, 3:]
 
 
 def sat_core(sat, jdsatepoch: float, jdsatepochF: float):

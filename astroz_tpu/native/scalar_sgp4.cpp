@@ -727,4 +727,21 @@ long long astroz_scalar_sgp4_array(const double* s, const double* tsince,
   return n;
 }
 
+// (n_sats, n_times) grid in ONE native crossing: vecs is the packed
+// element matrix (n_sats x nf doubles, one pack_scalar_sat row per
+// satellite), tsince is (n_sats x n_times) minutes-past-epoch, outputs
+// are (n_sats x n_times x 6) / (n_sats x n_times). Each satellite runs
+// the 8-wide near-earth SIMD batch (or the exact scalar deep loop) —
+// the SatrecArray CPU sweep without per-satellite Python/ctypes
+// overhead (reference: the batch-range loop, Constellation.zig:360-382).
+long long astroz_sgp4_grid(const double* vecs, long long n_sats,
+                           long long nf, const double* tsince,
+                           long long n_times, double* out, int* err) {
+  for (long long si = 0; si < n_sats; ++si)
+    astroz_scalar_sgp4_array(vecs + si * nf, tsince + si * n_times,
+                             n_times, out + si * n_times * 6,
+                             err + si * n_times);
+  return n_sats * n_times;
+}
+
 }  // extern "C"
