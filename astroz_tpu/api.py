@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
-import os
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -182,6 +180,11 @@ class Satrec:
                 self.sgp4_tsince = core.sgp4_tsince
         return self._scalar
 
+    @staticmethod
+    def _on_accel() -> bool:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+
     def sgp4(self, jd: float, fr: float
              ) -> Tuple[int, Tuple[float, float, float],
                         Tuple[float, float, float]]:
@@ -210,9 +213,11 @@ class Satrec:
 
     def _sgp4_many(self, jd: np.ndarray, fr: np.ndarray):
         n = len(jd)
-        import jax
-        on_accel = jax.devices()[0].platform != "cpu"
-        if n >= 4096 and on_accel:
+        # ordering matters: only consult jax.devices() when the array
+        # is big enough for the device path — small arrays must reach
+        # the native engine WITHOUT initializing any JAX backend
+        # (backend init can hang on a dead accelerator tunnel)
+        if n >= 4096 and self._on_accel():
             # time-as-lanes: fold the time axis into both grid
             # dimensions so one satellite fills the VPU (the
             # reference's 1-sat x 8-times propagateN at TPU width)
@@ -428,9 +433,6 @@ class SatrecArray:
 
         n_t = jd.shape[0]
         n_s = len(self._satrecs)
-        e = np.zeros((n_s, n_t), np.int32)
-        r = np.zeros((n_s, n_t, 3), np.float64)
-        v = np.zeros((n_s, n_t, 3), np.float64)
         if getattr(self, "_native_grid", None) is None:
             # pack every healthy satellite's element vector ONCE —
             # the whole (n_sats, n_times) sweep is then a single
@@ -452,34 +454,28 @@ class SatrecArray:
                 else np.zeros((0, len(native.SCALAR_FIELDS))),
                 np.asarray(eps), np.asarray(epfs))
         ok, vecs, eps, epfs = self._native_grid
+        if len(ok) == 0:
+            e = np.zeros((n_s, n_t), np.int32)
+            for i, s in enumerate(self._satrecs):
+                e[i] = s._init_err
+            z = np.zeros((n_s, n_t, 3), np.float64)
+            return e, z, z.copy()
+        tsince = ((jd[None, :] - eps[:, None])
+                  + (fr[None, :] - epfs[:, None])) * MINUTES_PER_DAY
+        out = native.sgp4_grid(vecs, tsince)  # threads over sat ranges
+        if out is None:
+            return None
+        if len(ok) == n_s:
+            # every satellite healthy (the common case): r/v are views
+            # into the native buffer — no staging or scatter copies
+            return out
+        eo, ro, vo = out
+        e = np.zeros((n_s, n_t), np.int32)
+        r = np.zeros((n_s, n_t, 3), np.float64)
+        v = np.zeros((n_s, n_t, 3), np.float64)
         for i, s in enumerate(self._satrecs):
             if s._init_err:
                 e[i] = s._init_err  # zero-filled outputs, batch parity
-        if len(ok) == 0:
-            return e, r, v
-        tsince = ((jd[None, :] - eps[:, None])
-                  + (fr[None, :] - epfs[:, None])) * MINUTES_PER_DAY
-        n_ok = len(ok)
-        eo = np.empty((n_ok, n_t), np.int32)
-        ro = np.empty((n_ok, n_t, 3), np.float64)
-        vo = np.empty((n_ok, n_t, 3), np.float64)
-
-        def sweep(lo, hi):
-            out = native.sgp4_grid(vecs[lo:hi], tsince[lo:hi])
-            eo[lo:hi], ro[lo:hi], vo[lo:hi] = out
-
-        n_workers = min(os.cpu_count() or 1, n_ok, 16)
-        if n_workers > 1 and n_ok * n_t >= 10_000:
-            # the ctypes call releases the GIL: thread over satellite
-            # ranges (the reference's 16-thread batch-range loop,
-            # Constellation.zig:360-382)
-            from concurrent.futures import ThreadPoolExecutor
-            bounds = np.linspace(0, n_ok, n_workers + 1).astype(int)
-            with ThreadPoolExecutor(n_workers) as pool:
-                list(pool.map(lambda k: sweep(bounds[k], bounds[k + 1]),
-                              range(n_workers)))
-        else:
-            sweep(0, n_ok)
         e[ok], r[ok], v[ok] = eo, ro, vo
         return e, r, v
 

@@ -310,11 +310,37 @@ def sgp4_grid(vecs: np.ndarray, tsince: np.ndarray
     n_t = tsince.shape[1]
     out = np.empty((n_s, n_t, 6), np.float64)
     err = np.empty((n_s, n_t), np.int32)
-    lib.astroz_sgp4_grid(
-        vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_s, nf,
-        tsince.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_t,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-        err.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    n_workers = min(os.cpu_count() or 1, n_s, 16)
+    if n_workers > 1 and n_s * n_t >= 10_000:
+        # thread over satellite ranges writing DISJOINT rows of the
+        # shared buffers (ctypes releases the GIL) — the reference's
+        # 16-thread batch-range loop, Constellation.zig:360-382
+        from concurrent.futures import ThreadPoolExecutor
+        bounds = np.linspace(0, n_s, n_workers + 1).astype(int)
+
+        def run(k):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            if lo == hi:
+                return
+            lib.astroz_sgp4_grid(
+                vecs[lo:hi].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)), hi - lo, nf,
+                tsince[lo:hi].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)), n_t,
+                out[lo:hi].ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_double)),
+                err[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+
+        with ThreadPoolExecutor(n_workers) as pool:
+            list(pool.map(run, range(n_workers)))
+    else:
+        lib.astroz_sgp4_grid(
+            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n_s,
+            nf, tsince.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_t, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            err.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    # r/v are views into the interleaved native buffer: no copies, so
+    # peak memory stays ~one result-sized buffer
     return err, out[:, :, :3], out[:, :, 3:]
 
 

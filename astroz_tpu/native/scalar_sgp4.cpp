@@ -60,7 +60,11 @@ constexpr double C6 = -1.13596475577881948265e-11;
 
 // sin+cos in ~13 ns (vs 37 ns glibc sincos): quadrant reduction,
 // shared z powers, branchless-ish quadrant swap.
-inline void fast_sincos(double x, double* sx, double* cx) {
+// _nv ("no validation") variant: branch-free body for the vectorized
+// lane loops — a libm fallback call inside an `omp simd` loop would
+// block vectorization entirely, so the SIMD dispatcher instead gates
+// whole arrays by horizon (see astroz_scalar_sgp4_array).
+inline void fast_sincos_nv(double x, double* sx, double* cx) {
   const double kd = std::nearbyint(x * INV_PIO2);
   const long long k = (long long)kd;
   double r = x - kd * PIO2_1;
@@ -86,6 +90,18 @@ inline void fast_sincos(double x, double* sx, double* cx) {
   cbv ^= (uint64_t)((k + 1) & 2) << 62;  // cos negative in quadrants 1,2
   std::memcpy(sx, &sb, 8);
   std::memcpy(cx, &cbv, 8);
+}
+
+inline void fast_sincos(double x, double* sx, double* cx) {
+  if (__builtin_expect(std::fabs(x) > 8.0e5, 0)) {
+    // beyond k ~ 2^19 the 33-bit Cody-Waite products lose exactness;
+    // decade-scale horizons (never hit by the library's own callers,
+    // but reachable through user tsince) fall back to libm's exact
+    // reduction
+    ::sincos(x, sx, cx);
+    return;
+  }
+  fast_sincos_nv(x, sx, cx);
 }
 
 inline double fast_sin(double x) {
@@ -131,11 +147,18 @@ inline double fast_cbrt(double x) {
 // consumer here is 2*pi-periodic (trig / Kepler's longitude), so the
 // branch-cut difference is immaterial; the 3-part constant keeps the
 // reduction exact-grade. ~6 ns vs 40-160 ns glibc fmod.
-inline double reduce_twopi(double x) {
+inline double reduce_twopi_nv(double x) {
   const double kd = std::nearbyint(x * INV_TWOPI);
   double r = x - kd * TP_HI;
   r -= kd * TP_LO;
   return r;
+}
+
+inline double reduce_twopi(double x) {
+  if (__builtin_expect(std::fabs(x) > 8.0e5, 0)) {
+    return std::fmod(x, TWOPI);  // see fast_sincos: exactness guard
+  }
+  return reduce_twopi_nv(x);
 }
 
 // dspace: resonance integration + deep secular (ops/scalar.py:511-596)
@@ -506,7 +529,7 @@ namespace {
 constexpr int W = 8;
 
 inline void fast_sincos_lane(double x, double* sx, double* cx) {
-  fast_sincos(x, sx, cx);
+  fast_sincos_nv(x, sx, cx);  // branch-free: keeps lane loops vectorizable
 }
 
 // propagate W near-earth times; writes out[6*l + j] and err[l]
@@ -581,10 +604,10 @@ void sgp4_block_ne(const double* s, const double* t_in, double* out,
     emv[l] = em;
     mmv[l] += s[NO_UNKOZAI] * templ[l];
     xlm[l] = mmv[l] + argpm[l] + nodem[l];
-    nodem[l] = reduce_twopi(nodem[l]);
-    argpm[l] = reduce_twopi(argpm[l]);
-    xlm[l] = reduce_twopi(xlm[l]);
-    mmv[l] = reduce_twopi(xlm[l] - argpm[l] - nodem[l]);
+    nodem[l] = reduce_twopi_nv(nodem[l]);
+    argpm[l] = reduce_twopi_nv(argpm[l]);
+    xlm[l] = reduce_twopi_nv(xlm[l]);
+    mmv[l] = reduce_twopi_nv(xlm[l] - argpm[l] - nodem[l]);
   }
 
   double axnl[W], aynl[W];
@@ -596,7 +619,7 @@ void sgp4_block_ne(const double* s, const double* t_in, double* out,
     aynl[l] = emv[l] * sargp + temp * s[AYCOF];
     const double xl =
         mmv[l] + argpm[l] + nodem[l] + temp * s[XLCOF] * axnl[l];
-    u[l] = reduce_twopi(xl - nodem[l]);
+    u[l] = reduce_twopi_nv(xl - nodem[l]);
   }
 
   // masked Kepler: every lane follows the scalar while-loop exactly —
@@ -682,13 +705,30 @@ void sgp4_block_ne(const double* s, const double* t_in, double* out,
     const double vz = sini * cossu;
 
     ec |= ((int)(ec == 0) & (int)(mrt < 1.0)) * 6;  // error 6
-    const double ok = ec == 0 ? 1.0 : 0.0;
-    out[6 * l + 0] = ok * mrt * ux * s[RADIUSEARTHKM];
-    out[6 * l + 1] = ok * mrt * uy * s[RADIUSEARTHKM];
-    out[6 * l + 2] = ok * mrt * uz * s[RADIUSEARTHKM];
-    out[6 * l + 3] = ok * (mvt * ux + rvdot * vx) * vkmpersec;
-    out[6 * l + 4] = ok * (mvt * uy + rvdot * vy) * vkmpersec;
-    out[6 * l + 5] = ok * (mvt * uz + rvdot * vz) * vkmpersec;
+    // SELECT, never multiply: an error lane's intermediates may have
+    // overflowed to inf, and 0.0 * inf = NaN would leak where the
+    // scalar path's early return writes exact zeros (the same rule as
+    // the TPU kernels' masked-dense merges). Bit-level mask — the
+    // vectorizer found "no vectype" for a bool-ternary formulation.
+    const uint64_t keep = (uint64_t)0 - (uint64_t)(ec == 0);
+    const double o0 = mrt * ux * s[RADIUSEARTHKM];
+    const double o1 = mrt * uy * s[RADIUSEARTHKM];
+    const double o2 = mrt * uz * s[RADIUSEARTHKM];
+    const double o3 = (mvt * ux + rvdot * vx) * vkmpersec;
+    const double o4 = (mvt * uy + rvdot * vy) * vkmpersec;
+    const double o5 = (mvt * uz + rvdot * vz) * vkmpersec;
+    uint64_t b0, b1, b2, b3, b4, b5;
+    std::memcpy(&b0, &o0, 8); std::memcpy(&b1, &o1, 8);
+    std::memcpy(&b2, &o2, 8); std::memcpy(&b3, &o3, 8);
+    std::memcpy(&b4, &o4, 8); std::memcpy(&b5, &o5, 8);
+    b0 &= keep; b1 &= keep; b2 &= keep;
+    b3 &= keep; b4 &= keep; b5 &= keep;
+    std::memcpy(&out[6 * l + 0], &b0, 8);
+    std::memcpy(&out[6 * l + 1], &b1, 8);
+    std::memcpy(&out[6 * l + 2], &b2, 8);
+    std::memcpy(&out[6 * l + 3], &b3, 8);
+    std::memcpy(&out[6 * l + 4], &b4, 8);
+    std::memcpy(&out[6 * l + 5], &b5, 8);
     err[l] = ec;
   }
 }
@@ -705,6 +745,20 @@ extern "C" {
 long long astroz_scalar_sgp4_array(const double* s, const double* tsince,
                                    long long n, double* out, int* err) {
   if (s[DEEP] != 0.0) {
+    for (long long i = 0; i < n; ++i)
+      err[i] = astroz_scalar_sgp4(s, tsince[i], out + 6 * i);
+    return n;
+  }
+  // horizon gate: the SIMD block uses the branch-free (_nv) trig,
+  // whose Cody-Waite reduction assumes angles < ~8e5 rad. |t| < 6e5
+  // min (>1 year) keeps xmdf = MO + MDOT*t inside that for any
+  // near-earth mean motion (MDOT < ~0.073 rad/min -> |xmdf| < ~4.5e4);
+  // longer horizons take the scalar loop, whose guarded trig falls
+  // back to libm's exact reduction per point.
+  double tmax = 0.0;
+  for (long long i = 0; i < n; ++i)
+    tmax = std::fabs(tsince[i]) > tmax ? std::fabs(tsince[i]) : tmax;
+  if (tmax > 6.0e5) {
     for (long long i = 0; i < n; ++i)
       err[i] = astroz_scalar_sgp4(s, tsince[i], out + 6 * i);
     return n;
