@@ -308,3 +308,43 @@ def test_satcore_result_reuse_semantics():
     for k in range(5):
         vals.add(round(sat.sgp4(jd, fr + k / 100.0)[1][0], 6))
     assert len(vals) == 5
+
+
+def test_sgp4_grid_threaded_matches_serial(monkeypatch):
+    """native.sgp4_grid's thread-split (disjoint row ranges of one
+    shared buffer) must be bit-identical to the serial sweep — forced
+    on by faking a multi-core host (the CI box has 1 core)."""
+    import math
+
+    import numpy as np
+
+    from astroz_tpu import native
+    from astroz_tpu.ops import scalar as sc
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    vecs = []
+    for k in range(23):  # odd count: uneven range splits
+        no = rng.uniform(11.0, 16.0) * 2 * math.pi / 1440
+        sat = sc.sgp4init(sc.wgs72(), 2460310.5,
+                          float(rng.uniform(0, 3e-4)),
+                          float(rng.uniform(1e-4, 0.05)),
+                          float(rng.uniform(0, 2 * math.pi)),
+                          float(rng.uniform(0.3, 1.8)),
+                          float(rng.uniform(0, 2 * math.pi)), no,
+                          float(rng.uniform(0, 2 * math.pi)))
+        vecs.append(native.pack_scalar_sat(sat))
+    vecs = np.asarray(vecs)
+    tsince = np.broadcast_to(np.linspace(0, 1440.0, 600),
+                             (23, 600)).copy()
+    tsince += rng.normal(0, 1.0, tsince.shape)  # de-duplicate rows
+
+    e1, r1, v1 = native.sgp4_grid(vecs, tsince)  # serial (1 core)
+    monkeypatch.setattr(native.os, "cpu_count", lambda: 4)
+    e2, r2, v2 = native.sgp4_grid(vecs, tsince)  # forced 4-thread
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
