@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdlib>
 #include <cstring>
+#include <vector>
 
 #include "scalar_fields.h"
 
@@ -650,10 +651,15 @@ int sgp4_propagate_batch(void* h, const double* times, double* results,
                          unsigned int count) {
   if (!h || !times || !results) return NULL_POINTER;
   const double* s = static_cast<Sgp4Rec*>(h)->s;
+  // near-earth batches ride the 8-wide SIMD block path inside
+  // astroz_scalar_sgp4_array (61 ns/point vs ~245 scalar); deep-space
+  // and decade-horizon arrays fall back to the exact scalar loop there
+  std::vector<int> errs(count);
+  astroz_scalar_sgp4_array(s, times, (long long)count, results,
+                           errs.data());
   int first = OK;
   for (unsigned int i = 0; i < count; ++i) {
-    const int e = astroz_scalar_sgp4(s, times[i], results + 6 * i);
-    if (e != 0 && first == OK) first = map_propagate_error(e);
+    if (errs[i] != 0 && first == OK) first = map_propagate_error(errs[i]);
   }
   return first;
 }
