@@ -166,8 +166,13 @@ def test_propagate_batch(lib):
         assert lib.sgp4_propagate_batch(sh, times, results, n) == 0
         for i in range(n):
             lib.sgp4_propagate(sh, times[i], pos, vel)
-            assert list(results[6 * i:6 * i + 3]) == list(pos)
-            assert list(results[6 * i + 3:6 * i + 6]) == list(vel)
+            # the batch rides the 8-wide SIMD block path, whose FMA
+            # contraction differs from the scalar path by ~1 ulp —
+            # gated at the documented 1e-9 km SIMD-vs-scalar contract
+            for a, b in zip(results[6 * i:6 * i + 3], pos):
+                assert abs(a - b) < 1e-9, (a, b, i)
+            for a, b in zip(results[6 * i + 3:6 * i + 6], vel):
+                assert abs(a - b) < 1e-9, (a, b, i)
     finally:
         lib.sgp4_free(sh)
         lib.tle_free(th)
