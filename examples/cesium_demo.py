@@ -155,7 +155,7 @@ def main():
     epoch = float(cat.epochs_jd.min())
     jd = epoch + np.arange(n_times) * (step_s / 86400.0)
 
-    propagate(cat, jd[:2], velocities=False, method="fast")  # compile
+    propagate(cat, jd, velocities=False, method="fast")  # compile once
     t0 = time_module.perf_counter()
     r, _, err = propagate(cat, jd, velocities=False, method="fast")
     r = np.asarray(r, np.float64)
