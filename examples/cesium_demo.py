@@ -161,15 +161,18 @@ def main():
     r = np.asarray(r, np.float64)
     dt = time_module.perf_counter() - t0
     ok = (np.asarray(err) == 0).all(axis=0)
+    rate = n * n_times / dt
+    rate_s = (f"{rate / 1e6:.1f}M" if rate >= 1e6
+              else f"{rate / 1e3:.0f}k")
     print(f"propagated {n} sats x {n_times} epochs in {dt:.2f}s "
-          f"({n * n_times / dt / 1e6:.1f}M props/s)")
+          f"({rate_s} props/s)")
 
     czml = make_czml([nm for nm, o in zip(names, ok) if o],
                      r[:, ok], jd, step_s)
     html = (HTML_TEMPLATE
             .replace("__NSATS__", f"{int(ok.sum()):,}")
             .replace("__NSAMPLES__", str(n_times))
-            .replace("__THROUGHPUT__", f"{n * n_times / dt / 1e6:.1f}M")
+            .replace("__THROUGHPUT__", rate_s)
             .replace("__CZML__", json.dumps(czml, separators=(",", ":"))))
     out.write_text(html)
     czml_path = out.with_suffix(".czml")
