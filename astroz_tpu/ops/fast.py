@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..constants import GravityModel, TWO_PI
 from .fastmath import angle_add, sincos
-from .sgp4 import Sgp4Elements, X2O3
+from .sgp4 import Sgp4Elements
 from .sdp4 import (DeepElements, ResonanceCarry, FASX2, FASX4, FASX6, G22,
                    G32, G44, G52, G54, RPTIM, STEPP, STEP2, ZEL, ZES, ZNL,
                    ZNS)
@@ -629,63 +629,61 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     argpdf = els.argpo + els.argpdot * t
     t2 = t * t
     nodem64 = els.nodeo + els.nodedot * t + els.nodecf * t2
-    # gravity-resonance / lunisolar secular contributions (deep only)
-    if deep is not None:
-        xmdf = xmdf + deep.dmdt * t
-        argpdf = argpdf + deep.domdt * t
-        nodem64 = nodem64 + deep.dnodt * t
+    # gravity-resonance / lunisolar secular contributions (deep lanes;
+    # exact zeros on near-earth lanes by construction)
+    xmdf = xmdf + deep.dmdt * t
+    argpdf = argpdf + deep.domdt * t
+    nodem64 = nodem64 + deep.dnodt * t
     templ_big = els.no_unkozai * t2 * (
         els.t2cof + t * (els.t3cof + t * (els.t4cof + t * els.t5cof)))
 
     is_deep = els.is_deep
     nm_res64 = els.no_unkozai + jnp.zeros_like(xmdf)
-    mm_spine = xmdf
-    if deep is not None:
-        resonant = deep.irez != 0
-        if carry is None:
-            nm_res, xl = _resonance_from_tables(deep, els, t,
-                                                resonance_steps,
-                                                resonance_window)
-        else:
-            # carry form: resume the integration point-wise from the
-            # provided state (reference restart rule, Sdp4.zig:787-791)
-            atime, xli, xni = carry
-            restart = ((atime == 0.0) | (t * atime <= 0.0)
-                       | (jnp.abs(t) < jnp.abs(atime)))
-            atime = jnp.where(restart, 0.0, atime)
-            xli = jnp.where(restart, deep.xlamo, xli)
-            xni = jnp.where(restart, els.no_unkozai, xni)
-            delt = jnp.where(t > 0.0, STEPP, -STEPP)
+    resonant = deep.irez != 0
+    if carry is None:
+        nm_res, xl = _resonance_from_tables(deep, els, t,
+                                            resonance_steps,
+                                            resonance_window)
+    else:
+        # carry form: resume the integration point-wise from the
+        # provided state (reference restart rule, Sdp4.zig:787-791)
+        atime, xli, xni = carry
+        restart = ((atime == 0.0) | (t * atime <= 0.0)
+                   | (jnp.abs(t) < jnp.abs(atime)))
+        atime = jnp.where(restart, 0.0, atime)
+        xli = jnp.where(restart, deep.xlamo, xli)
+        xni = jnp.where(restart, els.no_unkozai, xni)
+        delt = jnp.where(t > 0.0, STEPP, -STEPP)
 
-            def active_fn(atime_):
-                return resonant & (jnp.abs(t - atime_) >= STEPP)
+        def active_fn(atime_):
+            return resonant & (jnp.abs(t - atime_) >= STEPP)
 
-            def body(state):
-                atime_, xli_, xni_ = state
-                xndt, xldot, xnddt = _resonance_derivs_fast(
-                    deep, els, xli_, xni_, atime_)
-                act = active_fn(atime_)
-                xli_ = jnp.where(act, xli_ + xldot * delt + xndt * STEP2,
-                                 xli_)
-                xni_ = jnp.where(act, xni_ + xndt * delt + xnddt * STEP2,
-                                 xni_)
-                atime_ = jnp.where(act, atime_ + delt, atime_)
-                return atime_, xli_, xni_
+        def body(state):
+            atime_, xli_, xni_ = state
+            xndt, xldot, xnddt = _resonance_derivs_fast(
+                deep, els, xli_, xni_, atime_)
+            act = active_fn(atime_)
+            xli_ = jnp.where(act, xli_ + xldot * delt + xndt * STEP2,
+                             xli_)
+            xni_ = jnp.where(act, xni_ + xndt * delt + xnddt * STEP2,
+                             xni_)
+            atime_ = jnp.where(act, atime_ + delt, atime_)
+            return atime_, xli_, xni_
 
-            atime, xli, xni = jax.lax.while_loop(
-                lambda s: jnp.any(active_fn(s[0])), body,
-                (atime, xli, xni))
-            xndt, xldot, xnddt = _resonance_derivs_fast(deep, els, xli,
-                                                        xni, atime)
-            ft = t - atime
-            nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
-            xl = xli + xldot * ft + xndt * ft * ft * 0.5
-        theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
-        mm_geo = xl - nodem64 - argpdf + theta
-        mm_half = xl - 2.0 * nodem64 + 2.0 * theta
-        mm_res = jnp.where(deep.irez == 1, mm_geo, mm_half)
-        mm_spine = jnp.where(resonant, mm_res, xmdf)
-        nm_res64 = jnp.where(resonant, nm_res, nm_res64)
+        atime, xli, xni = jax.lax.while_loop(
+            lambda s: jnp.any(active_fn(s[0])), body,
+            (atime, xli, xni))
+        xndt, xldot, xnddt = _resonance_derivs_fast(deep, els, xli,
+                                                    xni, atime)
+        ft = t - atime
+        nm_res = xni + xndt * ft + xnddt * ft * ft * 0.5
+        xl = xli + xldot * ft + xndt * ft * ft * 0.5
+    theta = jnp.fmod(els.gsto + t * RPTIM, two_pi)
+    mm_geo = xl - nodem64 - argpdf + theta
+    mm_half = xl - 2.0 * nodem64 + 2.0 * theta
+    mm_res = jnp.where(deep.irez == 1, mm_geo, mm_half)
+    mm_spine = jnp.where(resonant, mm_res, xmdf)
+    nm_res64 = jnp.where(resonant, nm_res, nm_res64)
 
     mm_spine = mm_spine + templ_big
     # Kepler argument base: (mm + argpm) reduced in f64 — the xl - nodep
@@ -733,26 +731,19 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
 
     # ---- semi-major axis / mean motion ----------------------------------
     xke32 = _f32(grav.xke)
-    if deep is not None:
-        # deep lanes: nm from resonance; am = (xke/nm)^(2/3) * tempa^2
-        from .fastmath import pow23
-        bad_nm = nm_deep <= 0.0
-        error = jnp.where(bad_nm & is_deep & (error == 0), jnp.int32(2), error)
-        a_base = jnp.where(is_deep,
-                           pow23(xke32 / jnp.where(bad_nm, 1e-8, nm_deep)),
-                           _f32(els.a))
-    else:
-        a_base = _f32(els.a)
+    # deep lanes: nm from resonance; am = (xke/nm)^(2/3) * tempa^2
+    from .fastmath import pow23
+    bad_nm = nm_deep <= 0.0
+    error = jnp.where(bad_nm & is_deep & (error == 0), jnp.int32(2), error)
+    a_base = jnp.where(is_deep,
+                       pow23(xke32 / jnp.where(bad_nm, 1e-8, nm_deep)),
+                       _f32(els.a))
     am = a_base * tempa * tempa
     am_safe = jnp.where(am > 0.0, am, 1.0)
     nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
 
-    em = ecco - tempe
-    if deep is not None:
-        em = em + _f32(deep.dedt) * t32
-        inclm = inclo + _f32(deep.didt) * t32
-    else:
-        inclm = inclo + jnp.zeros_like(em)
+    em = ecco - tempe + _f32(deep.dedt) * t32
+    inclm = inclo + _f32(deep.didt) * t32
     error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), jnp.int32(1), error)
     em = jnp.clip(em, 1.0e-6, 0.999999)
 
@@ -765,107 +756,44 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     # non-simp near-earth lanes (argpm = argpdf - tempd)
     argpp = jnp.where(not_simp, argp32 - tempd, argp32) \
         + jnp.zeros_like(u_base)
-    if deep is not None:
-        ep, xincp, nodem, sin_node, cos_node, argpp, u = _dpper_fast(
-            deep, t32, em, inclm, sin_node, cos_node, nodem, mm, argpp,
-            u_base, apply_mask=is_deep)
-        neg_inc = xincp < 0.0
-        xincp = jnp.abs(xincp)
-        # inclination flip transformation: node += pi, argp -= pi —
-        # and u = mp + argp shifts by -pi with it (the f64 path gets
-        # this implicitly by recomputing u from the shifted argpp)
-        sin_node = jnp.where(neg_inc, -sin_node, sin_node)
-        cos_node = jnp.where(neg_inc, -cos_node, cos_node)
-        argpp = jnp.where(neg_inc, argpp - _f32(PI), argpp)
-        u = jnp.where(neg_inc, u - _f32(PI), u)
-        error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), jnp.int32(3), error)
-        ep = jnp.clip(ep, 1e-12, 0.999999)
+    ep, xincp, nodem, sin_node, cos_node, argpp, u = _dpper_fast(
+        deep, t32, em, inclm, sin_node, cos_node, nodem, mm, argpp,
+        u_base, apply_mask=is_deep)
+    neg_inc = xincp < 0.0
+    xincp = jnp.abs(xincp)
+    # inclination flip transformation: node += pi, argp -= pi —
+    # and u = mp + argp shifts by -pi with it (the f64 path gets
+    # this implicitly by recomputing u from the shifted argpp)
+    sin_node = jnp.where(neg_inc, -sin_node, sin_node)
+    cos_node = jnp.where(neg_inc, -cos_node, cos_node)
+    argpp = jnp.where(neg_inc, argpp - _f32(PI), argpp)
+    u = jnp.where(neg_inc, u - _f32(PI), u)
+    error = jnp.where(((ep < 0.0) | (ep > 1.0)) & (error == 0), jnp.int32(3), error)
+    ep = jnp.clip(ep, 1e-12, 0.999999)
 
     # ---- inclination-dependent coefficients ------------------------------
     sinip, cosip = sincos(xincp)
     j3oj2 = _f32(grav.j3oj2)
-    if deep is not None:
-        aycof_d = -0.5 * j3oj2 * sinip
-        near180 = jnp.abs(cosip + 1.0) > 1.5e-12
-        denom = jnp.where(near180, 1.0 + cosip, 1.5e-12)
-        xlcof_d = -0.25 * j3oj2 * sinip * (3.0 + 5.0 * cosip) / denom
-        cosisq = cosip * cosip
-        aycof = jnp.where(is_deep, aycof_d, _f32(els.aycof))
-        xlcof = jnp.where(is_deep, xlcof_d, _f32(els.xlcof))
-        con41 = jnp.where(is_deep, 3.0 * cosisq - 1.0, _f32(els.con41))
-        x1mth2 = jnp.where(is_deep, 1.0 - cosisq, _f32(els.x1mth2))
-        x7thm1 = jnp.where(is_deep, 7.0 * cosisq - 1.0, _f32(els.x7thm1))
-    else:
-        aycof, xlcof = _f32(els.aycof), _f32(els.xlcof)
-        con41, x1mth2, x7thm1 = (_f32(els.con41), _f32(els.x1mth2),
-                                 _f32(els.x7thm1))
+    aycof_d = -0.5 * j3oj2 * sinip
+    near180 = jnp.abs(cosip + 1.0) > 1.5e-12
+    denom = jnp.where(near180, 1.0 + cosip, 1.5e-12)
+    xlcof_d = -0.25 * j3oj2 * sinip * (3.0 + 5.0 * cosip) / denom
+    cosisq = cosip * cosip
+    aycof = jnp.where(is_deep, aycof_d, _f32(els.aycof))
+    xlcof = jnp.where(is_deep, xlcof_d, _f32(els.xlcof))
+    con41 = jnp.where(is_deep, 3.0 * cosisq - 1.0, _f32(els.con41))
+    x1mth2 = jnp.where(is_deep, 1.0 - cosisq, _f32(els.x1mth2))
+    x7thm1 = jnp.where(is_deep, 7.0 * cosisq - 1.0, _f32(els.x7thm1))
 
-    # ---- long-period terms + Kepler (Sgp4.zig:646-750) -------------------
-    sin_argpp, cos_argpp = sincos(argpp)
-
-    axnl = ep * cos_argpp
-    temp_lp = 1.0 / (am_safe * (1.0 - ep * ep))
-    aynl = ep * sin_argpp + temp_lp * aycof
-    u_kep = _wrap_two_pi_f32(u + temp_lp * xlcof * axnl)
-
-    eo1, sineo1, coseo1 = solve_kepler_fast(u_kep, axnl, aynl,
-                                            iters=kepler_iters)
-
-    # ---- short-period corrections + position/velocity --------------------
-    ecose = axnl * coseo1 + aynl * sineo1
-    esine = axnl * sineo1 - aynl * coseo1
-    el2 = axnl * axnl + aynl * aynl
-    pl = am * (1.0 - el2)
-    error = jnp.where((pl < 0.0) & (error == 0), jnp.int32(4), error)
-    pl_safe = jnp.where(pl > 0.0, pl, _f32(1.0))
-
-    rl = am * (1.0 - ecose)
-    rdotl = jnp.sqrt(am_safe) * esine / rl
-    rvdotl = jnp.sqrt(pl_safe) / rl
-    betal = jnp.sqrt(jnp.abs(1.0 - el2))
-    temp_b = esine / (1.0 + betal)
-    sinu = am / rl * (sineo1 - aynl - axnl * temp_b)
-    cosu = am / rl * (coseo1 - axnl + aynl * temp_b)
-    sin2u = (cosu + cosu) * sinu
-    cos2u = 1.0 - 2.0 * sinu * sinu
-    temp_p = 1.0 / pl_safe
-    temp1 = 0.5 * _f32(grav.j2) * temp_p
-    temp2 = temp1 * temp_p
-
-    mrt = (rl * (1.0 - 1.5 * temp2 * betal * con41)
-           + 0.5 * temp1 * x1mth2 * cos2u)
-    # su correction via addition theorem (no atan2, no sincos)
-    sinsu, cossu = angle_add(sinu, cosu, -0.25 * temp2 * x7thm1 * sin2u)
-    # node / inclination corrections likewise
-    snod, cnod = angle_add(sin_node, cos_node,
-                           1.5 * temp2 * cosip * sin2u)
-    sini, cosi = angle_add(sinip, cosip,
-                           1.5 * temp2 * cosip * sinip * cos2u)
-    mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
-    rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
-
-    xmx = -snod * cosi
-    xmy = cnod * cosi
-    ux = xmx * sinsu + cnod * cossu
-    uy = xmy * sinsu + snod * cossu
-    uz = sini * sinsu
-    vx = xmx * cossu - cnod * sinsu
-    vy = xmy * cossu - snod * sinsu
-    vz = sini * cossu
-
-    re = _f32(grav.radius_earth_km)
-    vkmpersec = _f32(grav.radius_earth_km * grav.xke / 60.0)
-    mrt_re = mrt * re
-    r = jnp.stack([mrt_re * ux, mrt_re * uy, mrt_re * uz], axis=-1)
-    v = jnp.stack(
-        [vkmpersec * (mvt * ux + rvdot * vx),
-         vkmpersec * (mvt * uy + rvdot * vy),
-         vkmpersec * (mvt * uz + rvdot * vz)], axis=-1)
-
-    error = jnp.where((mrt < 1.0) & (error == 0), jnp.int32(6), error)
-    ok = (error == 0)[..., None]
-    r = jnp.where(ok, r, 0.0)
-    v = jnp.where(ok, v, 0.0)
+    # ---- shared back half: long-period -> Kepler -> short-period ->
+    # TEME (the same helper the shallow and deep Pallas tails use, so
+    # the XLA mixed path is bit-identical to the deep kernel's tail)
+    rx, ry, rz, vx, vy, vz, error = _kepler_posvel_f32(
+        grav, kepler_iters, u, am, am_safe, nm, ep, argpp, sin_node,
+        cos_node, sinip, cosip, aycof, xlcof, con41, x1mth2, x7thm1,
+        error)
+    r = jnp.stack([rx, ry, rz], axis=-1)
+    v = jnp.stack([vx, vy, vz], axis=-1)
     return r, v, error
 
 

@@ -38,9 +38,8 @@ from .constants import WGS72, GravityModel, MINUTES_PER_DAY
 from .frames import ecef_to_geodetic, teme_to_ecef
 from .time import gstime
 from .tle import Tle, TleArrays, iter_tles, parse_omm
-from .ops.fast import propagate_fast
-from .ops.sgp4 import Sgp4Elements, sgp4_init, sgp4_propagate
-from .ops.sdp4 import (DeepElements, ResonanceCarry, fresh_carry, sdp4_init,
+from .ops.sgp4 import Sgp4Elements, sgp4_propagate
+from .ops.sdp4 import (DeepElements, ResonanceCarry, fresh_carry,
                        sdp4_propagate)
 
 #: Output frame names (reference: Constellation.zig OutputMode)
@@ -631,7 +630,7 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "resonance_steps", "layout",
-                          "resonance_window", "k_width", "group_blocks",
+                          "resonance_window", "group_blocks",
                           "interpret"))
 def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           deep_p: DeepElements,
@@ -642,7 +641,7 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           resonance_steps=None,
                           layout: str = "time_major",
                           resonance_window=None, tables_p=None,
-                          k_width: int = 128, group_blocks: int = 1,
+                          group_blocks: int = 1,
                           interpret: bool = False):
     """Pallas-engine fast path for mixed catalogs with the deep merge
     FUSED into the kernels — no XLA scatter on the big buffers (the
@@ -749,17 +748,20 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
         raise ValueError(f"output must be one of {OUTPUT_MODES}")
     if layout not in LAYOUTS:
         raise ValueError(f"layout must be one of {LAYOUTS}")
-    if fr is None:
-        fr = jnp.zeros_like(jnp.atleast_1d(jnp.asarray(jd)))
+    if method not in ("fast", "f64"):
+        raise ValueError("method must be 'fast' or 'f64'")
 
     dt = cat.els.epoch_jd.dtype
     # host copies first: the prologue math below runs in numpy so a
     # propagate() call enqueues only the jitted program (plus two tiny
     # transfers), never eager per-op device dispatches — on a remote
     # TPU backend each eager op costs a dispatch and every device
-    # fetch a ~25 ms round trip.
+    # fetch a ~25 ms round trip. (fr=None in particular must stay
+    # numpy: a jnp.zeros_like default paid an eager dispatch AND a
+    # blocking fetch before any real work.)
     jd_h = np.atleast_1d(np.asarray(jd, np.float64))
-    fr_h = np.atleast_1d(np.asarray(fr, np.float64))
+    fr_h = (np.zeros_like(jd_h) if fr is None
+            else np.atleast_1d(np.asarray(fr, np.float64)))
     jd_h, fr_h = np.broadcast_arrays(jd_h, fr_h)
     jd_sum = jnp.asarray((jd_h + fr_h)[:, None], dt)
 
@@ -789,12 +791,12 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
             window = _resonance_window(ep_deep)
             staging = cat.merge_staging if engine == "pallas" else None
             if staging is not None:
-                onehot, keep, k_width, g, els_p, deep_p, t_sat_p = staging
+                onehot, keep, _k, g, els_p, deep_p, t_sat_p = staging
                 r, v, err = _propagate_fast_fused(
                     cat.els, els_p, deep_p, onehot, keep, t_time, t_sat,
                     t_sat_p, jd_sum, cat.grav, output, velocities,
                     cat.kepler_iters, steps, layout, window,
-                    cat.resonance_tables_packed(steps), k_width, g)
+                    cat.resonance_tables_packed(steps), g)
             else:
                 r, v, err = _propagate_fast_partitioned(
                     cat.els, cat.els_deep, cat.deep_sub,

@@ -240,12 +240,12 @@ def main():
             # fused merge: deep columns substituted inside the shallow
             # kernel's epilogue (no XLA scatter; see
             # ops/pallas_sgp4.py fused-merge section)
-            onehot, keep, k_width, g, els_p, deep_p, t_sat_p = staging
+            onehot, keep, _k, g, els_p, deep_p, t_sat_p = staging
             return _propagate_fast_fused(
                 cat.els, els_p, deep_p, onehot, keep, ts, t_sat,
                 t_sat_p, js, cat.grav, "teme", True, cat.kepler_iters,
                 res_steps, "planes", res_window,
-                cat.resonance_tables_packed(res_steps), k_width, g)
+                cat.resonance_tables_packed(res_steps), g)
         return _propagate_fast_partitioned(
             cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
             ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,

@@ -291,7 +291,7 @@ def test_fused_wrapper_full_dispatch_interpret():
     r_f, v_f, e_f = _propagate_fast_fused(
         c.els, els_p, deep_p, onehot, keep, t_time, t_sat, t_sat_p,
         jd_sum, c.grav, "teme", True, c.kepler_iters, steps, "planes",
-        window, c.resonance_tables_packed(steps), k_width, g,
+        window, c.resonance_tables_packed(steps), g,
         interpret=True)
     r_s, v_s, e_s = _propagate_fast_partitioned(
         c.els, c.els_deep, c.deep_sub, c.deep_idx_dev, t_time, t_sat,
