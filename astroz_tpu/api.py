@@ -124,6 +124,10 @@ class Satrec:
                         epoch_jd=np.asarray([epoch_jd]))
         self._cat = catalog_from_elements(
             els, grav, satnum=np.asarray([satnum], dtype=np.int64))
+        # drop any TLE from a previous twoline2rv: jdsatepoch and the
+        # TLE-derived properties prefer _tle, so a stale one would make
+        # every later sgp4(jd, fr) compute tsince against the OLD epoch
+        self._tle = None
         self._reset_scalar()
         self._init_err = self.error = int(self._cat.init_errors[0])
         return self

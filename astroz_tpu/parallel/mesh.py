@@ -241,6 +241,58 @@ def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
     return jax.jit(fn)
 
 
+
+def _put_packed_sharded(tree, mesh, spec):
+    """Pytree host->device with a NamedSharding, PACKED: same-shape/
+    dtype leaves stack into one transfer each (CLAUDE.md: per-leaf
+    device_put through a degraded tunnel measured up to ~4 s/leaf; the
+    els pytree alone is ~30 leaves). The pack ships with the leaf spec
+    prefixed by a replicated stack axis; the jitted unpack pins its
+    outputs to the leaf sharding so no resharding follows. CPU targets
+    keep plain per-leaf placement (local puts are ~free; the unpack
+    would cost a pointless compile)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    leaf_sh = NamedSharding(mesh, spec)
+
+    def placeable(x):
+        return hasattr(x, "ndim") and x.ndim >= 1
+
+    if mesh.devices.reshape(-1)[0].platform == "cpu"             and mesh.devices.size == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, leaf_sh) if placeable(x) else x,
+            tree)
+
+    pack_sh = NamedSharding(mesh, P(None, *spec))
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    groups = {}
+    for i, leaf in enumerate(leaves):
+        if not placeable(leaf):
+            continue
+        arr = np.asarray(leaf)
+        groups.setdefault((arr.shape, arr.dtype.str), []).append((i, arr))
+    out = list(leaves)
+    for _, members in groups.items():
+        if len(members) == 1:
+            i, arr = members[0]
+            out[i] = jax.device_put(arr, leaf_sh)
+            continue
+        pack = jax.device_put(np.stack([a for _, a in members]), pack_sh)
+        parts = _unpack_to(pack, len(members), leaf_sh)
+        for k, (i, _) in enumerate(members):
+            out[i] = parts[k]
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "sh"))
+def _unpack_to(pack, n: int, sh):
+    """Split a pack into rows in ONE program, outputs pinned to ``sh``
+    (an eager pack[k] per leaf would both compile per-k programs and
+    let GSPMD pick arbitrary output shardings)."""
+    return tuple(jax.lax.with_sharding_constraint(pack[i], sh)
+                 for i in range(n))
+
+
 def stage_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
                        output: str = "teme", velocities: bool = True,
                        engine: Optional[str] = None,
@@ -300,12 +352,7 @@ def stage_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     # a multi-device shard_map jit.
     sat_sh = NamedSharding(mesh, sat_spec)
 
-    def _place_sat(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, sat_sh)
-        return x
-
-    els = jax.tree_util.tree_map(_place_sat, scat.els)
+    els = _put_packed_sharded(scat.els, mesh, sat_spec)
     t_time = jax.device_put(t_time, NamedSharding(mesh, time_spec))
     t_sat = jax.device_put(t_sat, sat_sh)
     jd_sum = jax.device_put(jd_sum, NamedSharding(mesh, time2_spec))
@@ -329,10 +376,8 @@ def stage_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
         rep_sh = NamedSharding(mesh, P())
         mask_loc = jax.device_put(jnp.asarray(is_deep_h), sat_sh)
         inv_loc = jax.device_put(jnp.asarray(rows_h), sat_sh)
-        _place_rep = (lambda x: jax.device_put(x, rep_sh)
-                      if hasattr(x, "ndim") and x.ndim >= 1 else x)
-        els_deep = jax.tree_util.tree_map(_place_rep, cat.els_deep)
-        deep_sub = jax.tree_util.tree_map(_place_rep, cat.deep_sub)
+        els_deep = _put_packed_sharded(cat.els_deep, mesh, P())
+        deep_sub = _put_packed_sharded(cat.deep_sub, mesh, P())
         t_sat_deep = jax.device_put(
             (els_deep.epoch_jd - ref) * MINUTES_PER_DAY, rep_sh)
         from ..propagation import _resonance_window

@@ -83,6 +83,13 @@ def screen_target(cat: SatCatalog, target: Union[str, Tle, SatCatalog],
         tcat = build_catalog([target], grav=cat.grav)
     else:
         tcat = build_catalog(target, grav=cat.grav)
+    if len(tcat) != 1:
+        # a multi-TLE target would either shape-error or, when its
+        # size happens to match the catalog, broadcast ELEMENTWISE
+        # (sat i vs target i) and return plausible-looking nonsense
+        raise ValueError(
+            f"screen_target expects exactly one target satellite, got "
+            f"{len(tcat)}; use screen_all for set-vs-set screening")
 
     r_all = _positions_f32(cat, jd, fr, method)        # (T, N, 3)
     # offset the target's park points so a failed target and a failed
@@ -123,14 +130,39 @@ def _sharded_coarse_fn(mesh1, block: int):
     return jax.jit(mapped)
 
 
-def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
-    """Multi-chip coarse pass: the time axis is sharded over all mesh
-    devices; each device reduces min-over-its-times, then one
-    ``lax.pmin`` collective merges shards — the only communication in
-    the whole screen (SURVEY §2.6: all-vs-all needs a cross-device
-    reduction; everything else is embarrassingly parallel)."""
-    from jax import shard_map
-    from jax.sharding import Mesh, PartitionSpec as P
+@_functools.lru_cache(maxsize=8)
+def _park_and_pad_fn(mesh1):
+    """Cached jitted park+pad+rsq for the ring screen — a fresh closure
+    per call would recompile the SPMD program every invocation."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh1, P(None, "sats", None))
+
+    @partial(jax.jit, static_argnames=("pad",),
+             out_shardings=(sharding,
+                            NamedSharding(mesh1, P(None, "sats"))))
+    def park_and_pad(r, err, pad: int):
+        r = jnp.asarray(r, jnp.float32)
+        bad = (err != 0)[..., None]
+        park = (_PAD_POS + 1.0e6 * jnp.arange(
+            r.shape[1] + pad, dtype=jnp.float32))[None, :, None]
+        r = jnp.where(bad, park[:, :r.shape[1]], r)
+        if pad:
+            r = jnp.concatenate(
+                [r, jnp.broadcast_to(park[:, r.shape[1]:],
+                                     (r.shape[0], pad, 3))], axis=1)
+        return r, jnp.sum(r * r, axis=-1)
+
+    return park_and_pad
+
+
+def _stage_coarse_sharded(r, rsq, mesh):
+    """Time-pad to a device multiple and place (r, rsq) with the
+    screen's time sharding ONCE — the block loop reuses the placed
+    tensors (re-padding + re-device_putting the full (T, N, 3)
+    position tensor per block measured as the dominant cost of large
+    sharded screens)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     devs = mesh.devices.reshape(-1)
     mesh1 = Mesh(devs, ("scr",))
@@ -143,13 +175,19 @@ def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh):
             [r, jnp.broadcast_to(r[-1:], (tpad,) + r.shape[1:])])
         rsq = jnp.concatenate(
             [rsq, jnp.broadcast_to(rsq[-1:], (tpad,) + rsq.shape[1:])])
-
     # place explicitly: inputs may arrive committed to one device (the
     # catalog init pins arrays to the host CPU), which conflicts with a
     # multi-device shard_map jit
-    from jax.sharding import NamedSharding
     r = jax.device_put(r, NamedSharding(mesh1, P("scr")))
     rsq = jax.device_put(rsq, NamedSharding(mesh1, P("scr")))
+    return r, rsq, mesh1
+
+
+def _coarse_block_min_sharded(r, rsq, j0, block: int, mesh1):
+    """Multi-chip coarse pass over PRE-STAGED (r, rsq) (see
+    :func:`_stage_coarse_sharded`): each device reduces
+    min-over-its-times, then one ``lax.pmin`` collective merges shards
+    — the only communication in the whole screen (SURVEY §2.6)."""
     fn = _sharded_coarse_fn(mesh1, block)
     return fn(r, rsq, jnp.asarray(j0, jnp.int32))
 
@@ -231,9 +269,13 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
     rsq = jnp.sum(r * r, axis=-1)
 
     # guard band: worst-case f32 cancellation of the Gram terms —
-    # over REAL satellites only (pad rows sit at ~1e7 km and would
-    # inflate the guard until every pair becomes a candidate)
-    max_rsq = float(rsq[:, :n].max())
+    # over REAL, NON-PARKED satellites only. Pad rows AND failed
+    # satellites park at >= ~1e7 km; one decayed satellite in the
+    # catalog would otherwise inflate the guard to ~1e8 km^2
+    # (effective threshold ~10,000 km -> nearly all N^2/2 pairs become
+    # candidates and real hits get truncated away at max_pairs)
+    live = rsq[:, :n] < (0.5 * _PAD_POS) ** 2
+    max_rsq = float(jnp.max(jnp.where(live, rsq[:, :n], 0.0)))
     guard = 8.0 * np.finfo(np.float32).eps * max_rsq  # km^2
     thr2 = threshold_km * threshold_km + guard
 
@@ -251,9 +293,11 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
         block_iter = [(0, n_total)]
     else:
         block_iter = [(j0, block) for j0 in range(0, n_total, block)]
+    if mesh is not None and mesh.devices.size > 1:
+        r_s, rsq_s, mesh1 = _stage_coarse_sharded(r, rsq, mesh)
     for j0, blk in block_iter:
         if mesh is not None and mesh.devices.size > 1:
-            dmin = _coarse_block_min_sharded(r, rsq, j0, blk, mesh)
+            dmin = _coarse_block_min_sharded(r_s, rsq_s, j0, blk, mesh1)
         else:
             dmin = _coarse_block_min(r, rsq, j0, blk)
         # candidate compaction ON DEVICE: count (one scalar fetch),
@@ -278,6 +322,12 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
     keep = (ci < n) & (cj < n)
     ci, cj = ci[keep], cj[keep]
     if ci.size > max_pairs:
+        import warnings
+        warnings.warn(
+            f"screen_all: coarse candidate set ({ci.size}) exceeds "
+            f"max_pairs ({max_pairs}); candidates are truncated BEFORE "
+            "the exact refine, so real conjunctions may be dropped — "
+            "raise max_pairs or lower threshold_km", stacklevel=2)
         ci, cj = ci[:max_pairs], cj[:max_pairs]
     if ci.size == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),
@@ -436,26 +486,12 @@ def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
     n_times = r.shape[0]
     block = -(-n // n_dev)  # ceil: satellites per device
     n_pad = block * n_dev - n
-    sharding = NamedSharding(mesh1, P(None, "sats", None))
+    r, rsq = _park_and_pad_fn(mesh1)(r, err, n_pad)
 
-    @partial(jax.jit, static_argnames=("pad",),
-             out_shardings=(sharding, NamedSharding(mesh1, P(None, "sats"))))
-    def park_and_pad(r, err, pad: int):
-        r = jnp.asarray(r, jnp.float32)
-        bad = (err != 0)[..., None]
-        park = (_PAD_POS + 1.0e6 * jnp.arange(
-            r.shape[1] + pad, dtype=jnp.float32))[None, :, None]
-        r = jnp.where(bad, park[:, :r.shape[1]], r)
-        if pad:
-            r = jnp.concatenate(
-                [r, jnp.broadcast_to(park[:, r.shape[1]:],
-                                     (n_times, pad, 3))], axis=1)
-        return r, jnp.sum(r * r, axis=-1)
-
-    r, rsq = park_and_pad(r, err, n_pad)
-
-    # guard band over real satellites only (see screen_all)
-    max_rsq = float(jnp.max(rsq[:, :n]))
+    # guard band over real, non-parked satellites only (see screen_all:
+    # failed satellites park at >= ~1e7 km inside the first n columns)
+    live = rsq[:, :n] < (0.5 * _PAD_POS) ** 2
+    max_rsq = float(jnp.max(jnp.where(live, rsq[:, :n], 0.0)))
     guard = 8.0 * np.finfo(np.float32).eps * max_rsq
     thr2 = jnp.float32(threshold_km * threshold_km + guard)
 
@@ -493,6 +529,12 @@ def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
     keep = (ci < cj) & (cj < n)
     ci, cj = ci[keep], cj[keep]
     if ci.size > max_pairs:
+        import warnings
+        warnings.warn(
+            f"screen_all_ring: coarse candidate set ({ci.size}) exceeds "
+            f"max_pairs ({max_pairs}); truncating BEFORE the exact "
+            "refine — raise max_pairs or lower threshold_km",
+            stacklevel=2)
         ci, cj = ci[:max_pairs], cj[:max_pairs]
     if ci.size == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64),

@@ -233,3 +233,38 @@ def test_screen_all_ring_debris_scale():
     assert (ci < cj).all()
     assert (d < 0.5).all()
     assert cj.max() < n if ci.size else True
+
+
+def test_decayed_satellite_does_not_inflate_guard():
+    """Regression: a failed (parked) satellite inside the catalog must
+    not blow up the coarse guard band. Pre-fix, one decayed satellite
+    raised max_rsq to ~1e14 km^2 -> guard ~1e8 km^2 (effective
+    threshold ~10,000 km), making nearly every pair a candidate; the
+    healthy-pair results must be identical with and without it."""
+    text = synthetic_leo_text(48)
+    # a decaying satellite: huge bstar + high drag -> propagate error
+    l1 = ("1 99999U 24001A   24001.50000000  .00000000  00000-0"
+          "  99999+0 0  9996")
+    l2 = ("2 99999  51.6000 100.0000 0012000  90.0000 270.0000 "
+          "16.49000000000016")
+    cat_mixed = build_catalog(text + "\n" + l1 + "\n" + l2)
+    cat_clean = build_catalog(text)
+    jd = 2460311.0 + np.linspace(0.0, 0.1, 24)
+
+    # confirm the decayed satellite actually errors somewhere
+    _, _, err = propagate(cat_mixed, jd)
+    assert (np.asarray(err)[:, -1] != 0).any()
+
+    # max_pairs bounds the COARSE candidate set: with the inflated
+    # guard the ~1e3 spurious candidates hit this cap and real
+    # conjunctions get truncated away arbitrarily, which is exactly
+    # the failure mode at production scale (guard ~1e8 km^2 at
+    # max_pairs=1e7 with 13k sats)
+    im, jm, dm, _ = screen_all(cat_mixed, jd, threshold_km=25.0,
+                               max_pairs=200)
+    ic, jc, dc, _ = screen_all(cat_clean, jd, threshold_km=25.0,
+                               max_pairs=200)
+    keep = (im < 48) & (jm < 48)  # drop pairs involving the decayed sat
+    np.testing.assert_array_equal(im[keep], ic)
+    np.testing.assert_array_equal(jm[keep], jc)
+    np.testing.assert_allclose(dm[keep], dc, rtol=0, atol=1e-6)
