@@ -375,20 +375,37 @@ class SatrecArray:
         grav = satrecs[0]._cat.grav
         same_grav = all(s._cat.grav == grav for s in satrecs)
         tles = [s._tle for s in satrecs]
+        self._grav_groups = None
         if same_grav and all(t is not None for t in tles):
             self._cat = build_catalog(tles, grav=grav)
         else:
             # mixed gravity models (or element-wise init): concatenate
             # the already-initialized element pytrees — each satellite
-            # keeps the constants it was initialized under, matching
-            # python-sgp4's per-satrec whichconst
-            # concatenate element pytrees from the individual catalogs
+            # keeps its INIT-TIME constants (python-sgp4's per-satrec
+            # whichconst). Propagation also consumes the gravity model
+            # (xke/j2/... in the secular and short-period terms), so
+            # the device path must run one program PER distinct model —
+            # self._grav_groups records (row_indices, catalog) slices.
             import jax
             els = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs),
                 *[s._cat.els for s in satrecs])
             satnum = np.concatenate([s._cat.satnum for s in satrecs])
             self._cat = catalog_from_elements(els, grav, satnum=satnum)
+            if not same_grav:
+                groups = {}
+                for i, s in enumerate(satrecs):
+                    groups.setdefault(s._cat.grav, []).append(i)
+                self._grav_groups = []
+                for g, idx in groups.items():
+                    g_els = jax.tree_util.tree_map(
+                        lambda *xs: jnp.concatenate(xs),
+                        *[satrecs[i]._cat.els for i in idx])
+                    g_cat = catalog_from_elements(
+                        g_els, g, satnum=np.concatenate(
+                            [satrecs[i]._cat.satnum for i in idx]))
+                    self._grav_groups.append(
+                        (np.asarray(idx, np.int64), g_cat))
 
     def __len__(self) -> int:
         return len(self._satrecs)
@@ -416,6 +433,26 @@ class SatrecArray:
                 e, r, v = out
                 return (e, r, v) if velocities else (e, r)
         from .propagation import propagate
+        if self._grav_groups is not None:
+            # device path, mixed gravity models: one program per
+            # distinct model (the propagate-time secular/short-period
+            # terms consume xke/j2/..., so a single-catalog sweep
+            # would apply satrecs[0]'s constants to every satellite)
+            n_t = np.broadcast_arrays(np.atleast_1d(jd),
+                                      np.atleast_1d(fr))[0].shape[0]
+            e = np.zeros((len(self._satrecs), n_t), np.int32)
+            r = np.zeros((len(self._satrecs), n_t, 3), np.float64)
+            v = np.zeros_like(r) if velocities else None
+            for idx, g_cat in self._grav_groups:
+                rg, vg, eg = propagate(g_cat, jd, fr,
+                                       velocities=velocities,
+                                       layout="sat_major",
+                                       method=self._method)
+                e[idx] = np.asarray(eg)
+                r[idx] = np.asarray(rg, np.float64)
+                if velocities:
+                    v[idx] = np.asarray(vg, np.float64)
+            return (e, r, v) if velocities else (e, r)
         r, v, err = propagate(self._cat, jd, fr,
                               velocities=velocities, layout="sat_major",
                               method=self._method)

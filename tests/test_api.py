@@ -220,3 +220,37 @@ def test_satrec_array_sgp4_into():
     np.testing.assert_array_equal(r_out, r_ref)
     np.testing.assert_array_equal(v_out, v_ref)
     np.testing.assert_array_equal(e_out, e_ref)
+
+
+def test_satrec_array_mixed_gravity_device_path(monkeypatch):
+    """Mixed-gravity SatrecArrays must propagate each satellite under
+    its OWN constants on the device path too (regression: the merged
+    catalog applied satrecs[0]'s model to everyone). The native CPU
+    path is disabled so the XLA group-wise branch is exercised."""
+    import numpy as np
+
+    from astroz_tpu.api import Satrec, SatrecArray, WGS72, WGS84, jday
+
+    L1 = ("1 25544U 98067A   24127.82853009  .00015698  00000+0"
+          "  27310-3 0  9995")
+    L2 = ("2 25544  51.6393 160.4574 0003580 140.6673 205.7250 "
+          "15.50957674452123")
+    s72 = Satrec.twoline2rv(L1, L2, WGS72)
+    s84 = Satrec.twoline2rv(L1, L2, WGS84)
+    arr = SatrecArray([s72, s84])
+    assert arr._grav_groups is not None
+
+    monkeypatch.setattr(SatrecArray, "_sgp4_native",
+                        lambda self, jd, fr: None)
+    jd0, fr0 = jday(2024, 5, 7, 0, 0, 0.0)
+    jds = np.full(5, jd0)
+    frs = fr0 + np.arange(5) / 48.0
+    e, r, v = arr.sgp4(jds, frs)
+    assert not e.any()
+    # row 0 must match a pure-WGS72 array, row 1 a pure-WGS84 one
+    e72, r72, _ = SatrecArray([s72]).sgp4(jds, frs)
+    e84, r84, _ = SatrecArray([s84]).sgp4(jds, frs)
+    np.testing.assert_allclose(r[0], r72[0], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(r[1], r84[0], rtol=0, atol=1e-6)
+    # and the two models genuinely differ (sanity that the test bites)
+    assert np.abs(r[0] - r[1]).max() > 1e-3
