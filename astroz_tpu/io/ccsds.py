@@ -35,6 +35,14 @@ class CcsdsError(ValueError):
     pass
 
 
+from .parsers import NeedMoreData as _NeedMoreData
+
+
+class CcsdsIncomplete(CcsdsError, _NeedMoreData):
+    """Frame extends past the buffer — streaming parsers wait."""
+
+
+
 @dataclass
 class Ccsds:
     """One parsed space packet."""
@@ -54,7 +62,7 @@ class Ccsds:
     def parse(cls, data: Union[bytes, bytearray],
               config: Optional[CcsdsConfig] = None) -> "Ccsds":
         if len(data) < PRIMARY_HEADER_LEN:
-            raise CcsdsError(
+            raise CcsdsIncomplete(
                 f"need >= {PRIMARY_HEADER_LEN} bytes, got {len(data)}")
         w0 = int.from_bytes(data[0:2], "big")
         w1 = int.from_bytes(data[2:4], "big")
@@ -69,7 +77,7 @@ class Ccsds:
 
         total = PRIMARY_HEADER_LEN + data_length + 1
         if len(data) < total:
-            raise CcsdsError(
+            raise CcsdsIncomplete(
                 f"packet claims {total} bytes, got {len(data)}")
         body = bytes(data[PRIMARY_HEADER_LEN:total])
         sh_len = (config.secondary_header_length

@@ -14,6 +14,12 @@ import socket
 from typing import Callable, Iterator, List, Optional, Type
 
 
+class NeedMoreData(ValueError):
+    """A frame's length fields demand more bytes than the buffer holds
+    — streaming parsers wait for more data; corrupt frames (anything
+    else) are skipped byte-by-byte instead."""
+
+
 class Parser:
     """Frame-type-generic parser (reference: Parser(Frame))."""
 
@@ -114,14 +120,38 @@ class Parser:
                         start = idx + len(self.sync_pattern)
                     try:
                         frame = self._parse_one(buf[start:])
-                    except Exception:
-                        # incomplete or garbage: wait for more data
+                    except NeedMoreData:
+                        # incomplete: wait for more bytes — unless the
+                        # buffer already exceeds any real frame (a
+                        # garbage header can CLAIM an arbitrary length
+                        # and look incomplete forever)
+                        if len(buf) - start > 1 << 20:
+                            buf = buf[start + 1:]
+                            progress = True
+                            continue
                         break
+                    except Exception:
+                        # CORRUPT bytes at the head: skip one byte and
+                        # keep scanning — waiting would stall the
+                        # stream forever (the old behavior: one bad
+                        # frame meant every later valid frame was lost)
+                        buf = buf[start + 1:]
+                        progress = True
+                        continue
                     frames.append(frame)
                     if callback is not None:
                         callback(frame)
                     buf = buf[start + max(frame.total_length, 1):]
                     progress = True
+        # EOF/timeout drain: a garbage header mid-buffer may have held
+        # the loop in 'incomplete' state — recover every still-valid
+        # frame from the remainder with the skip-scanning iterator
+        for frame in self.iter_frames(buf):
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+            frames.append(frame)
+            if callback is not None:
+                callback(frame)
         return frames
 
 
@@ -130,5 +160,11 @@ def parse_file(frame_type: Type, path: str,
     return Parser(frame_type, sync_pattern, config).parse_from_file(path)
 
 
-def parse_stream(frame_type: Type, host: str, port: int, **kwargs) -> List:
-    return Parser(frame_type).start(host, port, **kwargs)
+def parse_stream(frame_type: Type, host: str, port: int,
+                 sync_pattern: Optional[bytes] = None, config=None,
+                 **kwargs) -> List:
+    """Stream-parse frames off a TCP connection (parity with
+    :func:`parse_file`'s sync_pattern/config arguments; remaining
+    kwargs go to :meth:`Parser.start`)."""
+    return Parser(frame_type, sync_pattern, config).start(host, port,
+                                                          **kwargs)

@@ -17,6 +17,14 @@ class Vita49Error(ValueError):
     pass
 
 
+from .parsers import NeedMoreData as _NeedMoreData
+
+
+class Vita49Incomplete(Vita49Error, _NeedMoreData):
+    """Frame extends past the buffer — streaming parsers wait."""
+
+
+
 class PacketType(IntEnum):
     SIGNAL_DATA = 0x0
     SIGNAL_DATA_STREAM_ID = 0x1
@@ -76,7 +84,7 @@ class Vita49:
     @classmethod
     def parse(cls, data: Union[bytes, bytearray]) -> "Vita49":
         if len(data) < 4:
-            raise Vita49Error("need at least one 32-bit header word")
+            raise Vita49Incomplete("need at least one 32-bit header word")
         hdr = int.from_bytes(data[0:4], "big")
         ptype = PacketType((hdr >> 28) & 0xF)
         has_class = bool((hdr >> 27) & 1)
@@ -85,8 +93,10 @@ class Vita49:
         tsf = Tsf((hdr >> 20) & 0x3)
         count = (hdr >> 16) & 0xF
         size_words = hdr & 0xFFFF
-        if size_words * 4 > len(data) or size_words == 0:
-            raise Vita49Error(
+        if size_words == 0:
+            raise Vita49Error("packet claims 0 words")  # corrupt
+        if size_words * 4 > len(data):
+            raise Vita49Incomplete(
                 f"packet claims {size_words} words, have {len(data)//4}")
 
         off = 4

@@ -35,6 +35,9 @@ def propagate_fixed(accel, state0, t0: float, duration: float, dt: float,
     Returns (times (n,), states (n, ..., 6)) including the initial
     state, n = floor(duration/dt) + 1.
     """
+    if method not in ("rk4", "dp87"):
+        raise ValueError(f"method must be 'rk4' or 'dp87', got "
+                         f"{method!r}")
     deriv = make_deriv(accel)
     n_steps = int(np.floor(duration / dt))
     step_fn = rk4_step if method == "rk4" else \

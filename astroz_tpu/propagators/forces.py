@@ -196,14 +196,25 @@ def SolarRadiationPressure(cr: float = 1.3, area_m2: float = 4.0,
 def ThirdBody(mu_body: float, pos_fn: Callable) -> Accel:
     """Third-body tidal acceleration, Battin's formulation
     (ForceModel.zig:230-266). ``pos_fn(t) -> (..., 3) km`` gives the
-    body's geocentric position."""
+    body's geocentric position.
+
+    The naive ``d/|d|^3 - rb/|rb|^3`` difference cancels its ~4-5
+    leading digits for a distant body (Sun at 1 AU vs a LEO radius:
+    |r|/|rb| ~ 5e-5); Battin's identity rewrites it WITHOUT the
+    subtraction:  a = -mu_b (r + f(q) rb) / |d|^3  with
+    q = r.(r - 2 rb)/(rb.rb)  and
+    f(q) = q (3 + 3q + q^2) / (1 + (1+q)^{3/2}),
+    where every term is O(q) ~ 2 |r|/|rb| — no cancellation."""
 
     def accel(r, v, t):
         rb = jnp.broadcast_to(pos_fn(t), r.shape)
         d = rb - r                     # satellite -> body
         dn = _norm(d)
-        rbn = _norm(rb)
-        return mu_body * (d / dn ** 3 - rb / rbn ** 3)
+        rbsq = jnp.sum(rb * rb, axis=-1, keepdims=True)
+        q = jnp.sum(r * (r - 2.0 * rb), axis=-1, keepdims=True) / rbsq
+        fq = q * (3.0 + q * (3.0 + q)) \
+            / (1.0 + (1.0 + q) * jnp.sqrt(1.0 + q))
+        return -mu_body * (r + fq * rb) / dn ** 3
 
     return accel
 

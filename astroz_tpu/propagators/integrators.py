@@ -202,9 +202,19 @@ class DormandPrince87:
 
     def step(self, state, t, h):
         """Advance exactly h seconds (internally sub-stepping)."""
-        out, h_next, _ = dp87_adaptive(
+        out, h_next, n_sub = dp87_adaptive(
             self.deriv, state, t, t + h, rtol=self.rtol, atol=self.atol,
             h0=self.h_current)
+        if int(n_sub) >= 10000:
+            # the while_loop exited on the substep cap, not on reaching
+            # t+h: the returned state is NOT at the requested epoch.
+            # Silent acceptance made impossible tolerance settings
+            # (e.g. rtol=1e-16 pinning h at h_min with every step
+            # rejected) return wrong trajectories with no signal.
+            raise RuntimeError(
+                "DormandPrince87: step did not converge within the "
+                "substep cap (tolerances too tight for f64, or h_min "
+                "too large) — state has not reached t + h")
         self.h_current = float(jnp.abs(h_next))
         return out
 

@@ -146,7 +146,14 @@ def _format_implied_decimal(x: float) -> str:
     if mant >= 100000:  # rounding bumped the exponent
         mant //= 10
         exp += 1
-    if not -9 <= exp <= 9:
+    if exp < -9 or mant == 0:
+        # below the field's smallest representable magnitude
+        # (~1e-14): flush to the standard zero encoding, the same
+        # rendering exactly-0.0 takes (raising here would reject
+        # otherwise-valid records over a term that IS zero at TLE
+        # precision)
+        return " 00000+0"
+    if exp > 9:
         raise TleError(f"value {x} not representable in a TLE field")
     return f"{sign}{mant:05d}{exp:+d}"
 
@@ -171,10 +178,14 @@ def format_lines(*, satnum: int, epoch_jd: float, ecco: float,
     epoch_field = f"{y % 100:02d}{doy + frac:012.8f}"
 
     nd = ndot_rev_day2
-    if abs(nd) >= 1.0:
+    # ' .NNNNNNNN' (sign + 9 chars, leading zero dropped) — range-check
+    # AFTER rounding: 0.999999996 passes an input-value check but
+    # formats as '1.00000000', whose [1:] slice would silently emit
+    # ndot 0.0
+    nd_str = f"{abs(nd):.8f}"
+    if nd_str[0] != "0":
         raise TleError("|ndot| must be < 1 rev/day^2 in TLE format")
-    # ' .NNNNNNNN' (sign + 9 chars, leading zero dropped)
-    ndot_field = ("-" if nd < 0 else " ") + f"{abs(nd):.8f}"[1:]
+    ndot_field = ("-" if nd < 0 else " ") + nd_str[1:]
 
     l1 = (f"1 {format_satnum(satnum)}{classification[:1] or 'U'} "
           f"{intldesg:<8.8s} {epoch_field} {ndot_field} "
@@ -182,7 +193,14 @@ def format_lines(*, satnum: int, epoch_jd: float, ecco: float,
           f"{_format_implied_decimal(bstar)} 0 {elnum % 10000:4d}")
     l1 += str(checksum(l1))
 
-    ecc_field = f"{ecco:.7f}"[2:9]
+    # eccentricity: validate AND range-check after rounding (0.99999996
+    # formats as '1.0000000', whose [2:9] slice silently becomes 0.0)
+    if not 0.0 <= ecco < 1.0:
+        raise TleError(f"ecco {ecco} outside [0, 1)")
+    ecc_str = f"{ecco:.7f}"
+    if ecc_str[0] != "0":
+        raise TleError(f"ecco {ecco} rounds to 1.0 at TLE precision")
+    ecc_field = ecc_str[2:9]
     l2 = (f"2 {format_satnum(satnum)} {inclo_deg % 360.0:8.4f} "
           f"{nodeo_deg % 360.0:8.4f} {ecc_field} {argpo_deg % 360.0:8.4f} "
           f"{mo_deg % 360.0:8.4f} {no_rev_day:11.8f}{revnum % 100000:5d}")
@@ -265,6 +283,12 @@ def iter_tles(text: str) -> Iterator[Tle]:
                                   name=pending_name)
             except (TleError, ValueError):
                 pass
+            pending_name = None
+            pending_line1 = None
+        elif line.startswith("2 ") and len(line) >= 64:
+            # orphan line-2 (truncated record): skip it — treating it
+            # as the NEXT satellite's name would pollute catalogs with
+            # 69-char garbage names
             pending_name = None
             pending_line1 = None
         else:

@@ -190,3 +190,69 @@ def test_declination_subdegree_sign_roundtrip():
     for deg in (-0.5, -0.004, -16.7, 0.5, 0.0):
         d = Declination.from_degrees(deg)
         assert abs(d.to_degrees() - deg) < 1e-9, deg
+
+
+def test_parser_tcp_stream_resyncs_past_corrupt_frame():
+    """Regression: a corrupt frame mid-stream (here a VITA49 header
+    claiming 0 words, which no amount of extra data can complete) must
+    not stall the stream parser — pre-fix, every later valid frame was
+    lost because parse failures always 'waited for more data'."""
+    from astroz_tpu.io import Vita49
+    from astroz_tpu.io.vita49 import build_packet as v49_build
+
+    good = [v49_build(payload=bytes([i]) * 8, stream_id=i)
+            for i in range(3)]
+    corrupt = b"\x10\x00\x00\x00" + b"\xab" * 12  # size_words == 0
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        conn.sendall(good[0])
+        time.sleep(0.01)
+        conn.sendall(corrupt)
+        time.sleep(0.01)
+        conn.sendall(good[1] + good[2])
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    frames = Parser(Vita49).start("127.0.0.1", port, max_frames=3,
+                                  timeout=5.0)
+    th.join(timeout=5)
+    server.close()
+    assert [f.stream_id for f in frames] == [0, 1, 2]
+
+
+def test_parse_stream_accepts_sync_pattern():
+    """parse_stream must forward sync_pattern/config to the Parser
+    (pre-fix it raised TypeError, breaking parity with parse_file)."""
+    from astroz_tpu.io.parsers import parse_stream
+
+    sync = b"\x1a\xcf\xfc\x1d"
+    pkts = [ccsds_build(apid=i, payload=b"xyz", sequence_count=i)
+            for i in range(2)]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        for p in pkts:
+            conn.sendall(b"\x00garbage" + sync + p)
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    frames = parse_stream(Ccsds, "127.0.0.1", port, sync_pattern=sync,
+                          max_frames=2, timeout=5.0)
+    th.join(timeout=5)
+    server.close()
+    assert [f.apid for f in frames] == [0, 1]

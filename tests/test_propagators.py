@@ -229,3 +229,24 @@ def test_propagate_numerical_api():
     t2, s2 = propagate_numerical(state, 0.0, 5400.0, 60.0,
                                  integrator="rk4")
     assert s2.shape[0] == 91
+
+
+def test_third_body_battin_matches_naive_where_naive_is_accurate():
+    """Battin's cancellation-free third-body form must equal the naive
+    d/|d|^3 - rb/|rb|^3 difference in the regime where the naive f64
+    computation is still accurate (nearby body), and stay consistent
+    for the Sun (where the naive form loses ~5 leading digits)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from astroz_tpu.propagators.forces import ThirdBody
+
+    r = jnp.asarray([[7000.0, 1000.0, -2000.0]])
+    for mu_b, rb in ((4902.800066, np.array([384400.0, 0.0, 0.0])),
+                     (1.32712440018e11, np.array([1.496e8, 0.0, 0.0]))):
+        a_b = np.asarray(ThirdBody(mu_b, lambda t: jnp.asarray(rb))(
+            r, None, 0.0))[0]
+        d = rb - np.asarray(r)[0]
+        a_n = mu_b * (d / np.linalg.norm(d) ** 3
+                      - rb / np.linalg.norm(rb) ** 3)
+        assert abs((a_b - a_n) / np.linalg.norm(a_b)).max() < 1e-11
