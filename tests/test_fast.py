@@ -379,7 +379,12 @@ class TestResonanceWindow:
         # grew ~400x with table depth
         gather_30d = max(full_30d - build_30d, 1e-5)
         gather_1yr = max(full_1yr - build_1yr, 0.0)
-        assert gather_1yr < 3.0 * gather_30d + 0.01, (
+        # 50 ms additive floor for the same reason as gate (b) below:
+        # under full-suite (or concurrent-bench) load a single
+        # scheduler pause exceeds a 10 ms floor and flakes the gate,
+        # while the >256-row fallback regression it guards is
+        # seconds-scale (~400x)
+        assert gather_1yr < 3.0 * gather_30d + 0.05, (
             gather_30d, gather_1yr)
         # (b) the sequential table build — the same O(horizon/720)
         # integration the reference's carry performs once per sweep —
