@@ -21,6 +21,8 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -730,14 +732,24 @@ def propagate_fast_pallas_sep_merge(els: Sgp4Elements, t_time, t_sat,
     def blk_map3(j, i):
         return (j, i - i, i - i)
 
-    # deep operands index by GROUP: sat-block j reads group j // g
-    # (j is i32; dividing by the Python constant keeps i32 — a literal
-    # return value would go i64 under x64, see the col_map note above)
+    # deep operands index by GROUP: sat-block j reads group j // g.
+    # NEVER use `j // g` here: under x64, jnp floor_divide promotes
+    # through an i64 literal/convert that infinitely recurses the
+    # Mosaic convert_element_type lowering (this crashed the round-3
+    # headline bench). lax.div on i32 (both operands nonnegative, so
+    # truncating == floor) bypasses the promotion machinery entirely;
+    # the divisor must be a NUMPY scalar (a jnp scalar would be a
+    # captured tracer, which index maps reject).
+    gg = np.int32(g)
+
+    def group_div(j):
+        return lax.div(j, gg)
+
     deep_rv_spec = pl.BlockSpec((3, time_block, k_width),
-                                lambda j, i: (i - i, i, j // g),
+                                lambda j, i: (i - i, i, group_div(j)),
                                 memory_space=pltpu.VMEM)
     deep_e_spec = pl.BlockSpec((time_block, k_width),
-                               lambda j, i: (i, j // g),
+                               lambda j, i: (i, group_div(j)),
                                memory_space=pltpu.VMEM)
     rv_out = pl.BlockSpec((3, time_block, sat_block),
                           lambda j, i: (i - i, i, j),
