@@ -371,46 +371,68 @@ def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
                       deep_sub=deep_sub)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _unpack(pack, n: int):
-    """Split a stacked pack into its n rows in ONE program. Eager
-    ``pack[k]`` slices compile one tiny program per distinct k — ~180
-    remote compile-service round trips per catalog through the TPU
-    tunnel (seconds); this is one compile per pack shape."""
-    return tuple(pack[i] for i in range(n))
+@partial(jax.jit, static_argnames=("spec",))
+def _unpack_flat(packs, spec):
+    """Split per-dtype 1-D packs back into leaves in ONE program.
+
+    ``spec[k] = ((offset, shape), ...)`` for dtype-buffer ``packs[k]``
+    — static, so every slice is a static-bounds slice and the whole
+    unpack is one compiled program per catalog signature. Eager
+    ``pack[a:b]`` slices would compile one tiny program per leaf —
+    ~180 remote compile-service round trips per catalog through the
+    TPU tunnel (seconds)."""
+    outs = []
+    for pack, entries in zip(packs, spec):
+        for off, shape in entries:
+            size = 1
+            for d in shape:
+                size *= d
+            outs.append(pack[off:off + size].reshape(shape))
+    return tuple(outs)
 
 
-def _device_put_packed(tree, device):
-    """Transfer a pytree host->device as a few PACKED arrays.
+def _device_put_packed(tree, device, force_pack: bool = False):
+    """Transfer a pytree host->device as ONE packed array per dtype.
 
     A per-leaf ``jax.device_put`` pays one transfer round trip per leaf
     — measured up to ~4 s/leaf through a degraded remote-TPU tunnel
-    (351 s for a catalog's 87 element arrays). Stacking same-shape/dtype
-    leaves on the host into one array per group turns that into ~3
-    transfers + one on-device unpack program per group.
+    (351 s for a catalog's 87 element arrays) — and every distinct
+    unpack program shape pays a remote compile-service round trip.
+    Concatenating ALL raveled leaves into one 1-D host buffer per dtype
+    makes the whole catalog land in <=3 transfers + ONE compile + ONE
+    execution, regardless of how many leaves or shape groups it has.
 
     Host-CPU targets skip the packing: local device_put is ~free there
-    and the unpack program would cost a pointless ~1 s jit compile.
+    and the unpack program would cost a pointless jit compile.
+    ``force_pack`` exercises the packed path on CPU for tests.
     """
-    if device.platform == "cpu":
+    if device.platform == "cpu" and not force_pack:
         return jax.tree_util.tree_map(
             lambda a: jax.device_put(np.asarray(a), device)
             if hasattr(a, "ndim") else a, tree)
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    groups = {}
+    groups = {}  # dtype str -> [(leaf_index, array), ...]
+    out = [None] * len(leaves)
     for i, leaf in enumerate(leaves):
         arr = np.asarray(leaf)
-        groups.setdefault((arr.shape, arr.dtype.str), []).append((i, arr))
-    out = [None] * len(leaves)
-    for (_, _), members in groups.items():
-        if len(members) == 1:
-            i, arr = members[0]
-            out[i] = jax.device_put(arr, device)
-            continue
-        pack = jax.device_put(np.stack([a for _, a in members]), device)
-        parts = _unpack(pack, len(members))
-        for k, (i, _) in enumerate(members):
-            out[i] = parts[k]
+        groups.setdefault(arr.dtype.str, []).append((i, arr))
+    packs = []
+    spec = []
+    order = []  # leaf indices in pack traversal order
+    for dt in sorted(groups):
+        members = groups[dt]
+        entries = []
+        off = 0
+        for i, arr in members:
+            entries.append((off, arr.shape))
+            off += arr.size
+            order.append(i)
+        packs.append(jax.device_put(
+            np.concatenate([a.ravel() for _, a in members]), device))
+        spec.append(tuple(entries))
+    parts = _unpack_flat(tuple(packs), tuple(spec))
+    for k, i in enumerate(order):
+        out[i] = parts[k]
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

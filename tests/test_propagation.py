@@ -237,3 +237,39 @@ def test_kepler_iters_ignores_deep_partition(mixed_cat):
     from test_sgp4 import ISS_L1, ISS_L2
     leo = build_catalog("\n".join([ISS_L1, ISS_L2]))
     assert leo.kepler_iters == 5
+
+
+def test_device_put_packed_roundtrip():
+    """The packed host->device transfer (one 1-D buffer per dtype + one
+    splitter program) must reproduce every leaf exactly. The packed
+    path only executes on accelerator backends in production, so this
+    forces it on CPU — covering mixed dtypes, shapes, 0-d and empty
+    leaves, scalars, and None subtrees."""
+    import jax
+
+    from astroz_tpu.propagation import _device_put_packed
+
+    rng = np.random.default_rng(7)
+    tree = {
+        "f64_a": rng.normal(size=37),
+        "f64_b": rng.normal(size=(4, 5)),
+        "f64_0d": np.float64(3.25),
+        "f32": rng.normal(size=11).astype(np.float32),
+        "i32": rng.integers(-5, 5, size=9).astype(np.int32),
+        "i64": rng.integers(0, 99, size=3),
+        "bool": rng.normal(size=13) > 0,
+        "empty": np.zeros((0,), np.float64),
+        "scalar": 2.5,
+        "none": None,
+        "nested": {"x": rng.normal(size=6), "y": np.arange(8, dtype=np.int32)},
+    }
+    out = _device_put_packed(tree, jax.devices("cpu")[0], force_pack=True)
+    flat_in, td_in = jax.tree_util.tree_flatten(tree)
+    flat_out, td_out = jax.tree_util.tree_flatten(out)
+    assert td_in == td_out
+    for a, b in zip(flat_in, flat_out):
+        if hasattr(a, "ndim"):
+            assert np.asarray(b).dtype == np.asarray(a).dtype
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        else:
+            assert b == a
