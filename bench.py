@@ -69,8 +69,21 @@ def synthetic_catalog_text(n: int) -> str:
 
 def synthetic_catalog(n: int):
     """TLE text -> catalog through the full ingest path."""
+    from astroz_tpu import native
     from astroz_tpu.constants import WGS72
     from astroz_tpu.propagation import build_catalog
+
+    # The native runtime is compiled on demand (the .so is a
+    # per-machine artifact, gitignored) — on a fresh checkout the first
+    # parse call pays a ~4.5 s one-time g++ build. That's a build step,
+    # not ingest (the reference's equivalent is `zig build`), so force
+    # it BEFORE the timed section.
+    t0 = time.perf_counter()
+    native.get_lib()
+    dt = time.perf_counter() - t0
+    if dt > 0.1:
+        print(f"# native toolchain build (one-time): {dt:.2f}s",
+              file=sys.stderr)
 
     text = synthetic_catalog_text(n)
     t0 = time.perf_counter()
