@@ -13,6 +13,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 import threading
 from typing import Optional, Tuple
 
@@ -42,35 +43,55 @@ def _build() -> bool:
                         os.path.getmtime(_SRC_EXT),
                         os.path.getmtime(os.path.join(_DIR,
                                                       "scalar_fields.h")))
-        if os.path.exists(_SO) and os.path.getmtime(_SO) >= src_mtime:
+        main_fresh = (os.path.exists(_SO)
+                      and os.path.getmtime(_SO) >= src_mtime)
+        ext_fresh = (os.path.exists(_EXT_SO)
+                     and os.path.getmtime(_EXT_SO) >= src_mtime)
+        if main_fresh and ext_fresh:
             return True
-        # -fno-math-errno: no errno bookkeeping around sqrt/sin/cos ->
-        # inline sqrtsd + fused sincos calls (results unchanged, the
-        # parity fuzz gates stay exact); -march=native is safe because
-        # the .so is a per-machine build artifact (gitignored)
-        # -fopenmp-simd: honor `#pragma omp simd` (forces if-conversion
-        # + vectorization of the 8-wide sgp4 lane loops) without any
-        # OpenMP runtime dependency
-        flags = ["-O3", "-march=native", "-fno-math-errno",
-                 "-fopenmp-simd", "-mprefer-vector-width=512",
-                 "-shared", "-fPIC"]
-        cmd = ["g++", *flags, "-std=c++17", _SRC, _SRC2, _SRC3, _SRC4,
-               "-o", _SO]
+        if main_fresh:
+            # only the optional CPython extension is missing/stale (a
+            # silent ext-build failure must not be latched by a fresh
+            # main .so — that cost a round of 6x scalar-loop perf)
+            _build_ext()
+            return True
+        cmd = ["g++", *_BUILD_FLAGS, "-std=c++17", _SRC, _SRC2, _SRC3,
+               _SRC4, "-o", _SO]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        # the CPython extension for the per-call scalar path (optional:
-        # ctypes remains the fallback if Python.h is unavailable)
-        try:
-            import sysconfig
-            inc = sysconfig.get_paths()["include"]
-            cmd = ["g++", *flags, f"-I{inc}", _SRC_EXT, _SRC3,
-                   "-o", _EXT_SO]
-            subprocess.run(cmd, check=True, capture_output=True,
-                           timeout=120)
-        except Exception:
-            pass
+        _build_ext()
         return True
     except Exception:
         return False
+
+
+# -fno-math-errno: no errno bookkeeping around sqrt/sin/cos ->
+# inline sqrtsd + fused sincos calls (results unchanged, the parity
+# fuzz gates stay exact); -march=native is safe because the .so is a
+# per-machine build artifact (gitignored). -fopenmp-simd: honor
+# `#pragma omp simd` (forces if-conversion + vectorization of the
+# 8-wide sgp4 lane loops) without any OpenMP runtime dependency.
+_BUILD_FLAGS = ["-O3", "-march=native", "-fno-math-errno",
+                "-fopenmp-simd", "-mprefer-vector-width=512",
+                "-shared", "-fPIC"]
+
+
+def _build_ext() -> None:
+    """Compile the optional CPython extension for the per-call scalar
+    path (ctypes remains the fallback if Python.h is unavailable).
+    Failures are tolerated but REPORTED via ASTROZ_NATIVE_DEBUG=1 —
+    a silent failure here once hid a 6x scalar-loop regression."""
+    try:
+        import sysconfig
+        inc = sysconfig.get_paths()["include"]
+        cmd = ["g++", *_BUILD_FLAGS, "-std=c++17", f"-I{inc}",
+               _SRC_EXT, _SRC3, "-o", _EXT_SO]
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except subprocess.CalledProcessError as exc:
+        if os.environ.get("ASTROZ_NATIVE_DEBUG"):
+            sys.stderr.write("astroz native ext build failed:\n"
+                             + exc.stderr.decode(errors="replace"))
+    except Exception:
+        pass
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -202,17 +202,20 @@ static void satcore_dealloc(SatCore* self) {
   Py_TYPE(self)->tp_free((PyObject*)self);
 }
 
+/* designators in PyTypeObject declaration order: this file is built by
+ * g++ (C++ rules), where out-of-order designated initializers are a
+ * hard error — tp_dealloc must precede tp_flags. */
 static PyTypeObject SatCoreType = {
     PyVarObject_HEAD_INIT(NULL, 0)
     .tp_name = "_astroz_scalar.SatCore",
     .tp_basicsize = sizeof(SatCore),
+    .tp_dealloc = (destructor)satcore_dealloc,
     .tp_flags = Py_TPFLAGS_DEFAULT,
     .tp_doc = "Native per-satellite scalar SGP4/SDP4 propagator core.",
     .tp_methods = satcore_methods,
     .tp_members = satcore_members,
     .tp_init = (initproc)satcore_init,
     .tp_new = PyType_GenericNew,
-    .tp_dealloc = (destructor)satcore_dealloc,
 };
 
 /* propagate(vec_addr: int, tsince: float) -> (e, (x,y,z), (vx,vy,vz))
