@@ -4,6 +4,8 @@ The native path is the analogue of the reference's Zig ingest layer;
 equivalence to the Python parser is the correctness gate.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -308,6 +310,49 @@ def test_satcore_result_reuse_semantics():
     for k in range(5):
         vals.add(round(sat.sgp4(jd, fr + k / 100.0)[1][0], 6))
     assert len(vals) == 5
+
+
+def test_satcore_extension_builds_and_binds():
+    """The CPython SatCore extension must actually BUILD whenever a
+    compiler + Python headers exist — a silent ext-build failure once
+    hid a 6x scalar-loop regression for a whole round (every
+    Satrec.sgp4 loop quietly fell back to the ctypes path) while the
+    rest of this file stayed green. Gate the build result itself."""
+    import shutil
+    import sysconfig
+
+    from astroz_tpu import native
+    from astroz_tpu.api import Satrec, WGS72, jday
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ compiler on this host")
+    if not os.path.exists(os.path.join(
+            sysconfig.get_paths()["include"], "Python.h")):
+        pytest.skip("no Python headers on this host")
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    ext = native._get_ext()
+    assert ext is not None, "CPython extension failed to build/load"
+    assert hasattr(ext, "SatCore")
+
+    L1 = ("1 25544U 98067A   24127.82853009  .00015698  00000+0"
+          "  27310-3 0  9995")
+    L2 = ("2 25544  51.6393 160.4574 0003580 140.6673 205.7250 "
+          "15.50957674452123")
+    sat = Satrec.twoline2rv(L1, L2, WGS72)
+    jd, fr = jday(2024, 5, 6, 12, 0, 0.0)
+    e, r, v = sat.sgp4(jd, fr)
+    assert e == 0
+    # the all-C fast path must be bound: the instance attribute
+    # shadows the Python method after the first call
+    assert "sgp4" in sat.__dict__, \
+        "SatCore fast path not bound to the Satrec instance"
+    assert type(sat.sgp4).__name__ == "builtin_function_or_method"
+    # t/error live on the core once bound
+    assert sat.t == pytest.approx(
+        ((jd - sat.jdsatepoch) + (fr - sat.jdsatepochF)) * 1440.0)
+    assert sat.error == 0
 
 
 def test_sgp4_grid_threaded_matches_serial(monkeypatch):
