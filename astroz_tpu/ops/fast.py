@@ -426,8 +426,8 @@ def _dpper_core(t32, ep, inclp, sin_node, cos_node, nodep, mp, argpp,
 def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
                      mm, argp32, node32, xmdf32, *, omgcof, eta, xmcof,
                      delmo, not_simp, cc1, d2, d3, d4, bstar, cc4, cc5,
-                     sinmao, ecco, inclo, a, aycof, xlcof, con41, x1mth2,
-                     x7thm1, error0, want_vel: bool = True):
+                     sinmao, ecco, sinip, cosip, a, aycof, xlcof, con41,
+                     x1mth2, x7thm1, error0, want_vel: bool = True):
     """The f32 near-earth tail: drag -> Kepler -> short-period -> TEME.
 
     Shared between the XLA shallow path of :func:`propagate_fast` and
@@ -469,7 +469,9 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
     sin_node, cos_node = sincos(node32 + jnp.zeros_like(u_base))
     argpp = jnp.where(not_simp, argp32 - tempd, argp32) \
         + jnp.zeros_like(u_base)
-    sinip, cosip = sincos(inclo + jnp.zeros_like(u_base))
+    # sinip/cosip arrive as per-satellite FIELDS (inclination is
+    # constant on near-earth lanes, so its sincos is hoisted out of
+    # the per-element kernel — same f32 sincos at staging, bit-equal)
 
     return _kepler_posvel_f32(grav, kepler_iters, u_base, am, am_safe, nm,
                               em, argpp, sin_node, cos_node, sinip, cosip,
@@ -553,14 +555,20 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
 
 
 def _shallow_f32_fields(els: Sgp4Elements):
-    """The per-satellite f32 field bundle shallow_tail_f32 consumes."""
+    """The per-satellite f32 field bundle shallow_tail_f32 consumes.
+
+    Inclination enters as its f32 sincos pair — computed here with the
+    SAME polynomial sincos the kernels use, so hoisting it out of the
+    per-element tail is bit-neutral while saving a transcendental per
+    grid point."""
+    sinip, cosip = sincos(_f32(els.inclo))
     return dict(
         omgcof=_f32(els.omgcof), eta=_f32(els.eta), xmcof=_f32(els.xmcof),
         delmo=_f32(els.delmo), not_simp=~els.isimp, cc1=_f32(els.cc1),
         d2=_f32(els.d2), d3=_f32(els.d3), d4=_f32(els.d4),
         bstar=_f32(els.bstar), cc4=_f32(els.cc4), cc5=_f32(els.cc5),
         sinmao=_f32(els.sinmao), ecco=_f32(els.ecco),
-        inclo=_f32(els.inclo), a=_f32(els.a), aycof=_f32(els.aycof),
+        sinip=sinip, cosip=cosip, a=_f32(els.a), aycof=_f32(els.aycof),
         xlcof=_f32(els.xlcof), con41=_f32(els.con41),
         x1mth2=_f32(els.x1mth2), x7thm1=_f32(els.x7thm1),
         error0=els.error)

@@ -37,9 +37,12 @@ TIME_BLOCK = 8
 SAT_BLOCK = 1024
 
 #: per-satellite field order fed to the kernel as one (n_fields, S) array
+#: (inclination rides as its f32 sincos pair — hoisted per-satellite,
+#: see fast._shallow_f32_fields)
 _FIELD_NAMES = ("omgcof", "eta", "xmcof", "delmo", "cc1", "d2", "d3",
-                "d4", "bstar", "cc4", "cc5", "sinmao", "ecco", "inclo",
-                "a", "aycof", "xlcof", "con41", "x1mth2", "x7thm1")
+                "d4", "bstar", "cc4", "cc5", "sinmao", "ecco", "sinip",
+                "cosip", "a", "aycof", "xlcof", "con41", "x1mth2",
+                "x7thm1")
 
 
 def _store(out_refs, vals):

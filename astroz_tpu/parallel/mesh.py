@@ -165,7 +165,8 @@ def propagate_sharded(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
 @functools.lru_cache(maxsize=32)
 def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
                      output: str, want_vel: bool, layout: str,
-                     res_steps: int, mixed: bool, res_window=None):
+                     res_steps: int, mixed: bool, res_window=None,
+                     deep_kepler_iters: int = 8):
     """Build (once per static configuration) the jitted shard_map for
     :func:`propagate_sharded_fast`. Cached: a fresh closure per call
     would make ``jax.jit`` miss its trace cache and recompile the whole
@@ -208,7 +209,9 @@ def _sharded_fast_fn(mesh: Mesh, grav, kepler_iters: int, engine: str,
             ts_deep = tt[:, None] - tsd[None, :]
             d_r3, d_v3, d_err = _deep_planes(e_deep, d_sub, ts_deep,
                                              grav, engine, res_steps,
-                                             want_vel, res_window)
+                                             want_vel, res_window,
+                                             kepler_iters=
+                                             deep_kepler_iters)
             m = m_loc[None, :]
             r3 = jnp.where(m[None], d_r3[:, :, i_loc], r3)
             if want_vel:
@@ -383,7 +386,8 @@ def stage_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
         from ..propagation import _resonance_window
         fn = _sharded_fast_fn(mesh, grav, kepler_iters, engine, output,
                               want_vel, layout, res_steps, True,
-                              _resonance_window(cat.deep_epochs_jd))
+                              _resonance_window(cat.deep_epochs_jd),
+                              deep_kepler_iters=cat.deep_kepler_iters)
         args = (els, t_time, t_sat, jd_sum, mask_loc,
                 inv_loc, els_deep, deep_sub, t_sat_deep)
     else:

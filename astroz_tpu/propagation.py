@@ -225,18 +225,42 @@ class SatCatalog:
 
     @cached_property
     def kepler_iters(self) -> int:
-        """Static Newton trip count for the fast SHALLOW kernel: 5
-        suffices below e ~ 0.35 (stress-gated in tests/test_fast.py).
-        Only the near-earth lanes count — the deep partition (where the
-        high-e HEOs live) runs its own kernel at the full 8 — so a
-        mixed catalog keeps the cheap trip count on 95% of its lanes."""
+        """Static Newton trip count for the fast SHALLOW kernel,
+        laddered on the partition's max eccentricity. Newton from
+        E0=u is quadratic with contraction ~e/(2(1-e)): by e<=0.05
+        THREE trips already sit on the f32 noise floor (~6e-7 rad
+        residual, measured — the same floor 5 trips reach), and real
+        LEO catalogs are e<0.02, so the headline path runs 3. Margins
+        cover the J3 |aynl| inflation (~2e-3); stress-gated per rung
+        in tests/test_fast.py. Only the near-earth lanes count — the
+        deep partition (where the high-e HEOs live) runs its own
+        kernel at the full 8 — so a mixed catalog keeps the cheap
+        trip count on ~95% of its lanes."""
         if not len(self):
             return 5
         ecc = np.asarray(self.els.ecco)
         if self.els_deep is not None:
             ecc = ecc[~self.is_deep]
         max_ecc = float(ecc.max()) if ecc.size else 0.0
-        return 5 if max_ecc < 0.3 else 8
+        if max_ecc < 0.05:
+            return 3
+        if max_ecc < 0.2:
+            return 4
+        if max_ecc < 0.35:
+            return 5
+        return 8
+
+    @cached_property
+    def deep_kepler_iters(self) -> int:
+        """Static Newton trip count for the DEEP kernel: 6 trips reach
+        the same f32 residual floor as 8 up to e=0.8 (the +-0.95 step
+        clip tames the high-e start; measured ~8e-7 rad either way,
+        rung-gated in tests/test_fast.py) — and real deep catalogs top
+        out at Molniya/HEO e~0.74."""
+        if self.els_deep is None:
+            return 8
+        max_ecc = float(np.asarray(self.els_deep.ecco).max())
+        return 6 if max_ecc < 0.8 else 8
 
 
 import sys
@@ -563,13 +587,15 @@ def _shallow_planes(els, t_time, t_sat, grav, kepler_iters, engine,
 
 def _deep_planes(els_deep, deep_sub, tsince_deep, grav, engine,
                  resonance_steps, want_vel: bool,
-                 resonance_window=None, tables=None):
+                 resonance_window=None, tables=None,
+                 kepler_iters: int = 8):
     """Deep-subset kernel on the chosen engine, grouped planes form
     (r3, v3 | None, err) like :func:`_shallow_planes`."""
     if engine == "pallas":
         from .ops.pallas_sgp4 import _unpack_outs, propagate_deep_pallas
         outs = propagate_deep_pallas(
             els_deep, deep_sub, tsince_deep, grav,
+            kepler_iters=kepler_iters,
             resonance_steps=resonance_steps, planes=True,
             want_vel=want_vel, resonance_window=resonance_window,
             tables=tables)
@@ -577,7 +603,7 @@ def _deep_planes(els_deep, deep_sub, tsince_deep, grav, engine,
     from .ops.fast import deep_f32_fields, deep_spine_f64, deep_tail_f32
     spine = deep_spine_f64(els_deep, deep_sub, tsince_deep,
                            resonance_steps, resonance_window, tables)
-    return _group_planes(deep_tail_f32(grav, 8, *spine,
+    return _group_planes(deep_tail_f32(grav, kepler_iters, *spine,
                                        want_vel=want_vel,
                                        **deep_f32_fields(els_deep,
                                                          deep_sub)),
@@ -608,7 +634,7 @@ def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "engine", "resonance_steps", "layout",
-                          "resonance_window"))
+                          "resonance_window", "deep_kepler_iters"))
 def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 deep_sub: DeepElements, deep_idx, t_time,
                                 t_sat, t_sat_deep, jd_sum,
@@ -617,7 +643,8 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 kepler_iters: int = 8, engine: str = "xla",
                                 resonance_steps=None,
                                 layout: str = "time_major",
-                                resonance_window=None, tables=None):
+                                resonance_window=None, tables=None,
+                                deep_kepler_iters: int = 8):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the deep subset, substituted into
     the deep columns by a scatter.
@@ -638,7 +665,8 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
     # in XLA, f32 tail fused), then substituted into the deep columns
     d_r3, d_v3, d_err = _deep_planes(els_deep, deep_sub, tsince_deep,
                                      grav, engine, resonance_steps,
-                                     want_vel, resonance_window, tables)
+                                     want_vel, resonance_window, tables,
+                                     deep_kepler_iters)
     r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
                                   engine, want_vel)
     idx = deep_idx.astype(jnp.int32)
@@ -653,7 +681,7 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "resonance_steps", "layout",
                           "resonance_window", "group_blocks",
-                          "interpret"))
+                          "interpret", "deep_kepler_iters"))
 def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           deep_p: DeepElements,
                           merge_onehot, merge_keep, t_time, t_sat,
@@ -664,7 +692,8 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           layout: str = "time_major",
                           resonance_window=None, tables_p=None,
                           group_blocks: int = 1,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          deep_kepler_iters: int = 8):
     """Pallas-engine fast path for mixed catalogs with the deep merge
     FUSED into the kernels — no XLA scatter on the big buffers (the
     scatter measured 3-5 ms per sweep in every formulation; see the
@@ -691,6 +720,7 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
     deep_sb = 256 if width % 256 == 0 else 128
     d_outs = propagate_deep_pallas(
         els_p, deep_p, tsince_deep, grav,
+        kepler_iters=deep_kepler_iters,
         resonance_steps=resonance_steps, planes=True,
         want_vel=want_vel, resonance_window=resonance_window,
         tables=tables_p, sat_block=deep_sb, interpret=interpret)
@@ -818,14 +848,16 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                     cat.els, els_p, deep_p, onehot, keep, t_time, t_sat,
                     t_sat_p, jd_sum, cat.grav, output, velocities,
                     cat.kepler_iters, steps, layout, window,
-                    cat.resonance_tables_packed(steps), g)
+                    cat.resonance_tables_packed(steps), g,
+                    deep_kepler_iters=cat.deep_kepler_iters)
             else:
                 r, v, err = _propagate_fast_partitioned(
                     cat.els, cat.els_deep, cat.deep_sub,
                     cat.deep_idx_dev, t_time, t_sat, t_sat_deep,
                     jd_sum, cat.grav, output, velocities,
                     cat.kepler_iters, engine, steps, layout, window,
-                    cat.resonance_tables(steps))
+                    cat.resonance_tables(steps),
+                    deep_kepler_iters=cat.deep_kepler_iters)
     else:
         # minutes since each satellite's epoch — computed with the
         # jd/fr split so the subtraction happens at epoch-difference

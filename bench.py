@@ -258,12 +258,13 @@ def main():
                 cat.els, els_p, deep_p, onehot, keep, ts, t_sat,
                 t_sat_p, js, cat.grav, "teme", True, cat.kepler_iters,
                 res_steps, "planes", res_window,
-                cat.resonance_tables_packed(res_steps), g)
+                cat.resonance_tables_packed(res_steps), g,
+                deep_kepler_iters=cat.deep_kepler_iters)
         return _propagate_fast_partitioned(
             cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
             ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
             cat.kepler_iters, engine, res_steps, "planes", res_window,
-            res_tables)
+            res_tables, deep_kepler_iters=cat.deep_kepler_iters)
 
     def fetch(outs):
         # force real completion: on tunnel-attached dev chips

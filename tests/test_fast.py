@@ -108,15 +108,22 @@ def test_fast_golden_trajectory_within_100m():
         assert dv < 1e-4
 
 
-def test_kepler_fast_5_iters_low_ecc():
-    """5 Newton iterations converge below ~1e-6 rad for e <= 0.35 —
-    the shallow-catalog static trip count."""
-    e = np.linspace(0.0, 0.35, 40)
+@pytest.mark.parametrize("emax,iters", [(0.05, 3), (0.2, 4), (0.35, 5),
+                                        (0.8, 6)])
+def test_kepler_fast_trip_ladder(emax, iters):
+    """Every rung of the catalog-adaptive Newton trip ladder
+    (SatCatalog.kepler_iters) must converge below ~1e-6 rad across its
+    whole eccentricity band — including the J3 long-period |aynl|
+    inflation (aynl = e sin(argp) + temp_lp*aycof, up to ~2e-3 beyond
+    e) and a 20% band overshoot for margin."""
+    e = np.linspace(0.0, emax * 1.2, 40)
     u = np.linspace(0.0, 2 * np.pi, 97)
-    ee, uu = np.meshgrid(e, u)
-    axnl = jnp.asarray(ee * np.cos(0.7), jnp.float32)
-    aynl = jnp.asarray(ee * np.sin(0.7), jnp.float32)
-    eo1, s, c = jax.jit(lambda u_, a, b: solve_kepler_fast(u_, a, b, 5))(
+    ph = np.linspace(0.0, 2 * np.pi, 9)
+    ee, pp, uu = np.meshgrid(e, ph, u, indexing="ij")
+    axnl = jnp.asarray(ee * np.cos(pp), jnp.float32)
+    aynl = jnp.asarray(ee * np.sin(pp) + 2e-3, jnp.float32)
+    eo1, s, c = jax.jit(
+        lambda u_, a, b: solve_kepler_fast(u_, a, b, iters))(
         jnp.asarray(uu, jnp.float32), axnl, aynl)
     res = (np.asarray(uu, np.float64)
            - np.asarray(aynl, np.float64) * np.asarray(c, np.float64)

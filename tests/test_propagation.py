@@ -230,13 +230,20 @@ def test_kepler_iters_ignores_deep_partition(mixed_cat):
     own kernel at the full 8 (regression: catalog-wide max ecc forced
     8 iterations on every shallow lane of a mixed catalog)."""
     assert mixed_cat.has_deep
-    shallow_ecc = np.asarray(mixed_cat.els.ecco)[~mixed_cat.is_deep]
-    expected = 5 if shallow_ecc.max() < 0.3 else 8
-    assert mixed_cat.kepler_iters == expected
-    # an all-LEO catalog with low ecc always gets 5
+    shallow_max = float(np.asarray(mixed_cat.els.ecco)
+                        [~mixed_cat.is_deep].max())
+    catalog_max = float(np.asarray(mixed_cat.els.ecco).max())
+    assert catalog_max >= 0.35 > shallow_max  # the HEO lives deep
+    assert mixed_cat.kepler_iters < 8  # not forced up by the HEO
+
+    def ladder(e):
+        return 3 if e < 0.05 else 4 if e < 0.2 else 5 if e < 0.35 else 8
+
+    assert mixed_cat.kepler_iters == ladder(shallow_max)
+    # an all-LEO catalog with low ecc gets the cheapest rung
     from test_sgp4 import ISS_L1, ISS_L2
     leo = build_catalog("\n".join([ISS_L1, ISS_L2]))
-    assert leo.kepler_iters == 5
+    assert leo.kepler_iters == 3
 
 
 def test_device_put_packed_roundtrip():
