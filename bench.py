@@ -29,6 +29,10 @@ INNER_REPS = int(os.environ.get("ASTROZ_BENCH_INNER", "1"))
 #: per-sweep jit dispatch crosses a network tunnel to the dev chip.
 #: Set ASTROZ_BENCH_MODE=dispatch for the per-sweep-dispatch variant.
 BENCH_MODE = os.environ.get("ASTROZ_BENCH_MODE", "looped")
+#: ASTROZ_BENCH_VEL=0 measures the velocities=False fast path (4-plane
+#: kernels — velocity terms never computed; the reference's +10-30%
+#: knob, bindings/python/astroz/api.py:23)
+WANT_VEL = os.environ.get("ASTROZ_BENCH_VEL", "1") != "0"
 
 
 def synthetic_catalog_text(n: int) -> str:
@@ -136,24 +140,21 @@ def main_mesh():
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def run_looped(t_time, k):
-            shapes = jax.eval_shape(
-                lambda tt: fn(els0, tt, *rest), t_time)
-            outs0 = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-            probe0 = jnp.zeros((), outs0[0].dtype)
+            # probe-only carry: carrying the output planes through the
+            # fori_loop costs a full carry copy per sweep (see main())
+            probe0 = jnp.zeros((), jnp.float32)
 
-            def body(_, carry):
-                probe, _outs = carry
+            def body(_, probe):
                 tt_b, _pb = lax.optimization_barrier((t_time, probe))
                 outs = fn(els0, tt_b, *rest)
-                return outs[0].ravel()[0], outs
+                return outs[0].ravel()[0].astype(jnp.float32)
 
-            return lax.fori_loop(0, k, body, (probe0, outs0))
+            return lax.fori_loop(0, k, body, probe0)
 
         looped_ok = True
         try:
             for k in (2, 6):
-                np.asarray(run_looped(t_time0, k)[0])
+                np.asarray(run_looped(t_time0, k))
         except Exception as exc:  # noqa: BLE001 - fall back, don't fail
             print(f"# mesh looped mode unavailable ({exc}); "
                   "falling back to per-sweep dispatch", file=sys.stderr)
@@ -164,9 +165,7 @@ def main_mesh():
     if looped_ok:
         def run_reps(k):
             t0 = time.perf_counter()
-            probe, outs = run_looped(t_time0, k)
-            np.asarray(probe)
-            fetch([outs])
+            np.asarray(run_looped(t_time0, k))  # probe fetch = sync
             return time.perf_counter() - t0
     else:
         def run_reps(k):
@@ -246,7 +245,7 @@ def main():
     def run_chunk(ts, js):
         if cat.deep is None:
             return _propagate_fast_shallow(cat.els, ts, t_sat, js,
-                                           cat.grav, "teme", True,
+                                           cat.grav, "teme", WANT_VEL,
                                            cat.kepler_iters, engine,
                                            "planes")
         if staging is not None:
@@ -256,13 +255,13 @@ def main():
             onehot, keep, _k, g, els_p, deep_p, t_sat_p = staging
             return _propagate_fast_fused(
                 cat.els, els_p, deep_p, onehot, keep, ts, t_sat,
-                t_sat_p, js, cat.grav, "teme", True, cat.kepler_iters,
-                res_steps, "planes", res_window,
+                t_sat_p, js, cat.grav, "teme", WANT_VEL,
+                cat.kepler_iters, res_steps, "planes", res_window,
                 cat.resonance_tables_packed(res_steps), g,
                 deep_kepler_iters=cat.deep_kepler_iters)
         return _propagate_fast_partitioned(
             cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
-            ts, t_sat, t_sat_deep, js, cat.grav, "teme", True,
+            ts, t_sat, t_sat_deep, js, cat.grav, "teme", WANT_VEL,
             cat.kepler_iters, engine, res_steps, "planes", res_window,
             res_tables, deep_kepler_iters=cat.deep_kepler_iters)
 
@@ -287,20 +286,21 @@ def main():
         loop-invariant) sweep out of the fori_loop nor dead-code
         earlier iterations; ts_b's VALUE is exactly ts, so the physics
         is untouched. Every iteration materializes the full (3, T, N)
-        r/v planes in HBM, same as the dispatch mode."""
-        shapes = jax.eval_shape(lambda a, b: run_chunk(a, b), ts, js)
-        outs0 = jax.tree.map(
-            lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-        probe0 = jnp.zeros((), outs0[0].dtype)
+        r/v planes in HBM — pallas_call is opaque, so its output
+        buffers are always written — but ONLY the scalar probe is
+        carried: carrying the planes themselves measured +2.3 ms/sweep
+        of XLA while-loop carry copies (~543 MB at v5e HBM bandwidth —
+        a harness artifact, not program cost; benchmarks/
+        profile_fused.py quantifies it)."""
+        probe0 = jnp.zeros((), jnp.float32)
 
-        def body(_, carry):
-            probe, _outs = carry
+        def body(_, probe):
             ts_b, probe_b = lax.optimization_barrier((ts, probe))
             outs = run_chunk(ts_b, js)
             del probe_b
-            return outs[0][0, 0, 0], outs
+            return outs[0][0, 0, 0].astype(jnp.float32)
 
-        return lax.fori_loop(0, k, body, (probe0, outs0))
+        return lax.fori_loop(0, k, body, probe0)
 
     fetch([run_chunk(ts, js) for ts, js in chunks])  # warmup / compile
 
@@ -314,7 +314,7 @@ def main():
             # execute failure here falls back to dispatch mode so one
             # backend quirk can't lose the benchmark record
             for k in (2, 6):
-                np.asarray(run_looped(ts0, js0, k)[0])
+                np.asarray(run_looped(ts0, js0, k))
         except Exception as exc:  # noqa: BLE001
             print(f"# looped mode unavailable ({exc}); "
                   "falling back to per-sweep dispatch", file=sys.stderr)
@@ -322,9 +322,7 @@ def main():
     if mode == "looped":
         def run_reps(k):
             t0 = time.perf_counter()
-            probe, outs = run_looped(ts0, js0, k)
-            np.asarray(probe)
-            fetch([outs])
+            np.asarray(run_looped(ts0, js0, k))  # probe fetch = sync
             return time.perf_counter() - t0
     else:
         def run_reps(k):
@@ -363,10 +361,12 @@ def main():
     # shared dev chip interleaves other tenants' programs — identical
     # code swings 1.3x within minutes), so sample up to 5 windows
     # ~40 s apart and keep the best; stop early once a window shows
-    # the known-good device rate (the fused-merge path measured 2.83G
-    # in a clean window). Window retries are a tunnel artifact — on
-    # CPU (CI smoke) one window is the honest answer.
-    good_elapsed = N_SATS * N_TIMES * INNER_REPS / 2.6e9
+    # the known-good device rate (the fused-merge path measured
+    # ~4.9 ms/sweep = 3.96G in a mediocre window once the harness
+    # stopped carrying the output planes through the fori_loop).
+    # Window retries are a tunnel artifact — on CPU (CI smoke) one
+    # window is the honest answer.
+    good_elapsed = N_SATS * N_TIMES * INNER_REPS / 3.9e9
     on_tpu = jax.devices()[0].platform == "tpu"
     elapsed = measure()
     for _ in range(4 if on_tpu else 0):
@@ -377,8 +377,9 @@ def main():
 
     props = N_SATS * N_TIMES * INNER_REPS
     props_per_s = props / elapsed
+    suffix = "" if WANT_VEL else "_novel"
     print(json.dumps({
-        "metric": f"constellation_{N_SATS}x{N_TIMES}_props_per_s",
+        "metric": f"constellation_{N_SATS}x{N_TIMES}_props_per_s{suffix}",
         "value": round(props_per_s, 1),
         "unit": "props/s",
         "vs_baseline": round(props_per_s / BASELINE_PROPS_PER_S, 4),
