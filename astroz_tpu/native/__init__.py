@@ -79,18 +79,37 @@ def _build_ext() -> None:
     """Compile the optional CPython extension for the per-call scalar
     path (ctypes remains the fallback if Python.h is unavailable).
     Failures are tolerated but REPORTED via ASTROZ_NATIVE_DEBUG=1 —
-    a silent failure here once hid a 6x scalar-loop regression."""
+    a silent failure here once hid a 6x scalar-loop regression.
+
+    Any failure UNLINKS a pre-existing ``_EXT_SO``: callers only reach
+    here when the extension is missing or stale, so whatever sits on
+    disk was built against older sources — loading it would bind a
+    stale ABI against freshly-packed vectors. Deleting it makes a
+    failed rebuild fall back to ctypes instead."""
     try:
         import sysconfig
         inc = sysconfig.get_paths()["include"]
+        if not os.path.exists(os.path.join(inc, "Python.h")):
+            # header-less host: the g++ attempt is doomed — skip it
+            # cheaply instead of re-failing on every fresh process
+            _unlink_ext()
+            return
         cmd = ["g++", *_BUILD_FLAGS, "-std=c++17", f"-I{inc}",
                _SRC_EXT, _SRC3, "-o", _EXT_SO]
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except subprocess.CalledProcessError as exc:
+        _unlink_ext()
         if os.environ.get("ASTROZ_NATIVE_DEBUG"):
             sys.stderr.write("astroz native ext build failed:\n"
                              + exc.stderr.decode(errors="replace"))
     except Exception:
+        _unlink_ext()
+
+
+def _unlink_ext() -> None:
+    try:
+        os.unlink(_EXT_SO)
+    except OSError:
         pass
 
 
