@@ -15,17 +15,19 @@ from .constants import (RAD2DEG, TWO_PI, WGS84, WGS84_ECC_SQ)
 from .time import gstime
 
 
-def teme_to_ecef(r_teme, gmst):
+def teme_to_ecef(r_teme, gmst, xp=jnp):
     """Rotate TEME vectors into ECEF by the GMST z-rotation.
 
-    ``r_teme``: (..., 3); ``gmst``: broadcastable to (...,).
+    ``r_teme``: (..., 3); ``gmst``: broadcastable to (...,). ``xp``
+    selects the array module (pass numpy for the host-engine route —
+    the same module-parametric trick as ops.sgp4.sgp4_init_np).
     """
-    sin_g = jnp.sin(gmst)
-    cos_g = jnp.cos(gmst)
+    sin_g = xp.sin(gmst)
+    cos_g = xp.cos(gmst)
     x, y, z = r_teme[..., 0], r_teme[..., 1], r_teme[..., 2]
     xe = cos_g * x + sin_g * y
     ye = -sin_g * x + cos_g * y
-    return jnp.stack([xe, ye, z], axis=-1)
+    return xp.stack([xe, ye, z], axis=-1)
 
 
 def ecef_to_teme(r_ecef, gmst):
@@ -48,25 +50,26 @@ def ecef_to_geodetic(r_ecef, iters: int = 10):
     return jnp.stack([lat, lon, alt], axis=-1)
 
 
-def ecef_to_geodetic_xyz(x, y, z, iters: int = 10):
+def ecef_to_geodetic_xyz(x, y, z, iters: int = 10, xp=jnp):
     """Component-plane form of :func:`ecef_to_geodetic` — used by the
     planes output layout so the conversion never materializes a
-    minor-dim-3 array. Returns ``(lat, lon, alt)``."""
+    minor-dim-3 array. Returns ``(lat, lon, alt)``. ``xp`` selects the
+    array module (numpy for the host-engine route)."""
     a = WGS84.radius_earth_km
     e2 = WGS84_ECC_SQ
-    lon = jnp.arctan2(y, x)
-    p = jnp.sqrt(x * x + y * y)
-    p_safe = jnp.where(p > 1e-12, p, 1e-12)
-    lat = jnp.arctan2(z, p_safe * (1.0 - e2))
-    n = jnp.full_like(lat, a)
+    lon = xp.arctan2(y, x)
+    p = xp.sqrt(x * x + y * y)
+    p_safe = xp.where(p > 1e-12, p, 1e-12)
+    lat = xp.arctan2(z, p_safe * (1.0 - e2))
+    n = xp.full_like(lat, a)
     for _ in range(iters):
-        sin_lat = jnp.sin(lat)
-        n = a / jnp.sqrt(1.0 - e2 * sin_lat * sin_lat)
-        alt = p_safe / jnp.cos(lat) - n
-        lat = jnp.arctan2(z, p_safe * (1.0 - e2 * n / (n + alt)))
-    sin_lat = jnp.sin(lat)
-    n = a / jnp.sqrt(1.0 - e2 * sin_lat * sin_lat)
-    alt = p_safe / jnp.cos(lat) - n
+        sin_lat = xp.sin(lat)
+        n = a / xp.sqrt(1.0 - e2 * sin_lat * sin_lat)
+        alt = p_safe / xp.cos(lat) - n
+        lat = xp.arctan2(z, p_safe * (1.0 - e2 * n / (n + alt)))
+    sin_lat = xp.sin(lat)
+    n = a / xp.sqrt(1.0 - e2 * sin_lat * sin_lat)
+    alt = p_safe / xp.cos(lat) - n
     return lat, lon, alt
 
 

@@ -25,6 +25,8 @@ redesigned for XLA:
 
 from __future__ import annotations
 
+import dataclasses
+import os
 from dataclasses import dataclass
 from functools import cached_property
 from functools import partial
@@ -76,6 +78,19 @@ class SatCatalog:
     deep_idx: Optional[np.ndarray] = None
     els_deep: Optional[Sgp4Elements] = None
     deep_sub: Optional[DeepElements] = None
+    #: host-side numpy copies of the few element columns the staging
+    #: layer reads back (epoch_jd, ecco, is_deep, error, + deep twins),
+    #: stashed at build time BEFORE the async device transfer — so no
+    #: host-side property ever blocks on (or round-trips through) a
+    #: remote-TPU tunnel. Optional: catalogs built by other paths
+    #: (pad/shard) fall back to fetching from the device arrays.
+    host: Optional[dict] = dataclasses.field(
+        default=None, repr=False, compare=False)
+
+    def _host(self, key: str, fallback):
+        if self.host is not None and key in self.host:
+            return self.host[key]
+        return np.asarray(fallback())
 
     def __len__(self) -> int:
         return int(self.els.no_kozai.shape[0])
@@ -86,7 +101,7 @@ class SatCatalog:
 
     @cached_property
     def is_deep(self) -> np.ndarray:
-        return np.asarray(self.els.is_deep)
+        return self._host("is_deep", lambda: self.els.is_deep)
 
     @property
     def n_deep(self) -> int:
@@ -100,8 +115,8 @@ class SatCatalog:
     def epochs_jd(self) -> np.ndarray:
         # cached: on a remote TPU backend every np.asarray of device
         # data is a blocking ~25 ms round trip — epochs are immutable,
-        # fetch once
-        return np.asarray(self.els.epoch_jd)
+        # fetch once (or never: build-time catalogs carry host copies)
+        return self._host("epoch_jd", lambda: self.els.epoch_jd)
 
     @cached_property
     def epoch_min_jd(self) -> float:
@@ -111,12 +126,12 @@ class SatCatalog:
     def deep_epochs_jd(self) -> Optional[np.ndarray]:
         if self.els_deep is None:
             return None
-        return np.asarray(self.els_deep.epoch_jd)
+        return self._host("deep_epoch_jd", lambda: self.els_deep.epoch_jd)
 
     @property
     def init_errors(self) -> np.ndarray:
         """Per-satellite python-sgp4 init error codes (0 = ok)."""
-        return np.asarray(self.els.error)
+        return self._host("error", lambda: self.els.error)
 
     @cached_property
     def fast_staging(self):
@@ -232,13 +247,20 @@ class SatCatalog:
         residual, measured — the same floor 5 trips reach), and real
         LEO catalogs are e<0.02, so the headline path runs 3. Margins
         cover the J3 |aynl| inflation (~2e-3); stress-gated per rung
-        in tests/test_fast.py. Only the near-earth lanes count — the
+        in tests/test_fast.py. The rung keys on EPOCH ecco while the
+        eccentricity Newton actually sees (em) drifts at runtime (drag
+        with negative bstar grows em on shallow lanes): the per-rung
+        stress tests run at 1.2x the rung bound, so that 20% overshoot
+        IS the deliberate drift budget — shallow drag perturbs em by
+        well under 20% over SGP4's validity horizon (if it didn't, the
+        propagation has already flagged error 1/4 on that lane).
+        Only the near-earth lanes count — the
         deep partition (where the high-e HEOs live) runs its own
         kernel at the full 8 — so a mixed catalog keeps the cheap
         trip count on ~95% of its lanes."""
         if not len(self):
             return 5
-        ecc = np.asarray(self.els.ecco)
+        ecc = self._host("ecco", lambda: self.els.ecco)
         if self.els_deep is not None:
             ecc = ecc[~self.is_deep]
         max_ecc = float(ecc.max()) if ecc.size else 0.0
@@ -259,8 +281,44 @@ class SatCatalog:
         out at Molniya/HEO e~0.74."""
         if self.els_deep is None:
             return 8
-        max_ecc = float(np.asarray(self.els_deep.ecco).max())
+        max_ecc = float(self._host("deep_ecco",
+                                   lambda: self.els_deep.ecco).max())
         return 6 if max_ecc < 0.8 else 8
+
+    @cached_property
+    def scalar_vecs(self) -> Optional[np.ndarray]:
+        """Packed element matrix ``(n_sats, len(SCALAR_FIELDS))`` for
+        the native host engine (native.sgp4_grid) — the small-grid
+        routing target (see :func:`_propagate_host_small`). Built from
+        the BUILD-TIME host pytrees, so no device fetch; ``None`` when
+        the native library or the host pytrees are unavailable."""
+        if self.host is None or "els_np" not in self.host:
+            return None
+        from . import native
+        if native.get_lib() is None:
+            return None
+        els = self.host["els_np"]
+        deep = self.host.get("deep_np")
+        g = self.grav
+        gmap = {"radiusearthkm": g.radius_earth_km, "xke": g.xke,
+                "j2": g.j2, "j3oj2": g.j3oj2}
+        vecs = np.zeros((len(self), len(native.SCALAR_FIELDS)),
+                        np.float64)
+        for i, name in enumerate(native.SCALAR_FIELDS):
+            if name in gmap:
+                vecs[:, i] = gmap[name]
+            elif name == "deep":
+                vecs[:, i] = self.is_deep.astype(np.float64)
+            elif hasattr(els, name):
+                vecs[:, i] = np.asarray(getattr(els, name), np.float64)
+            elif deep is not None and hasattr(deep, name):
+                # deep coefficients are only READ on deep lanes (the
+                # engine branches on the deep flag), so shallow-lane
+                # garbage here is never consumed
+                vecs[:, i] = np.asarray(getattr(deep, name), np.float64)
+            # else: peo/pinco/plo/pgho/pho — identically zero in the
+            # published algorithm (sgp4init zeroes them); stay 0
+        return vecs
 
 
 import sys
@@ -380,19 +438,38 @@ def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
         deep_sub = jax.tree_util.tree_map(take, deep_h)
     t2 = _time.perf_counter()
 
+    # host-side copies of the columns the staging layer reads back —
+    # stashed BEFORE the device transfer so catalog properties never
+    # block on (or round-trip through) a remote-TPU tunnel
+    host = {"epoch_jd": np.asarray(els.epoch_jd),
+            "ecco": np.asarray(els.ecco),
+            "is_deep": np.asarray(els.is_deep),
+            "error": np.asarray(els.error),
+            # full numpy pytrees (~10 MB at 13k sats): the small-grid
+            # host route packs its native element matrix from these
+            "els_np": els, "deep_np": deep}
+    if any_deep:
+        host["deep_epoch_jd"] = np.asarray(els_deep.epoch_jd)
+        host["deep_ecco"] = np.asarray(els_deep.ecco)
+
     default = jax.devices()[0]
     els, deep, els_deep, deep_sub = _device_put_packed(
         (els, deep, els_deep, deep_sub), default)
-    jax.block_until_ready((els, deep, els_deep, deep_sub))
+    # NO block_until_ready: device_put is asynchronous, so the packed
+    # transfers (0.5-62 s through a degraded tunnel) ride the wire
+    # while the caller traces/compiles its first sweep — the reference
+    # analogue is ms-scale local packing (Constellation.zig:101-200),
+    # where blocking was free; here overlap is the whole game.
     t3 = _time.perf_counter()
     if verbose:
         parse = f"parse {_t_parse:.2f}s  " if _t_parse is not None else ""
         print(f"# ingest: {parse}init {t1 - t0:.2f}s  "
-              f"partition {t2 - t1:.2f}s  transfer {t3 - t2:.2f}s",
+              f"partition {t2 - t1:.2f}s  transfer-enqueue "
+              f"{t3 - t2:.2f}s (completes async under first compile)",
               file=sys.stderr)
     return SatCatalog(els=els, deep=deep, grav=grav, satnum=satnum,
                       names=names, deep_idx=deep_idx, els_deep=els_deep,
-                      deep_sub=deep_sub)
+                      deep_sub=deep_sub, host=host)
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -754,6 +831,82 @@ def _propagate_mixed_scan(els: Sgp4Elements, deep: DeepElements, tsince,
 # User-facing propagate
 # ---------------------------------------------------------------------------
 
+#: grids below this many propagations route to the native host engine
+#: when the default backend is an accelerator: a device sweep costs a
+#: ~1 ms dispatch + ~25 ms fetch through a remote-TPU tunnel (plus a
+#: one-time compile per grid signature), while the host SIMD engine
+#: answers 2^18 points in ~16 ms with zero compiles — the reference's
+#: single-node small-grid rate (README.md:25-33) at every scale.
+SMALL_GRID_PROPS = int(os.environ.get("ASTROZ_SMALL_GRID_PROPS",
+                                      str(1 << 18)))
+
+
+def _propagate_host_small(cat: SatCatalog, jd_h, fr_h, output: str,
+                          want_vel: bool, layout: str, satellite_mask):
+    """Small-grid propagate through the native host SIMD engine.
+
+    Numerics are the f64 scalar algorithm (python-sgp4 parity fuzzed to
+    1e-9 km), cast to f32 on return to keep the fast-method dtype
+    contract. Outputs are numpy arrays (host-resident by design — the
+    whole point is never touching the accelerator for tiny grids; the
+    reference's analogue is its always-on-host scalar loop,
+    README.md:25-33)."""
+    from . import native
+    from .constants import RAD2DEG
+
+    vecs = cat.scalar_vecs
+    ep = cat.epochs_jd
+    tsince = ((jd_h[None, :] - ep[:, None])
+              + fr_h[None, :]) * MINUTES_PER_DAY
+    err, r, v = native.sgp4_grid(vecs, tsince)  # sat-major (S, T, ...)
+    err = err.astype(np.int32)
+    ie = cat.init_errors.astype(np.int32)
+    if (ie != 0).any():
+        err = np.where(ie[:, None] != 0, ie[:, None], err)
+    bad = err != 0
+    if bad.any():  # zero-fill failed lanes like the device kernels
+        r = np.where(bad[..., None], 0.0, r)
+        v = np.where(bad[..., None], 0.0, v)
+    if output != "teme":
+        gmst = gstime(jd_h + fr_h, xp=np)[None, :]
+        r = teme_to_ecef(r, gmst, xp=np)
+        if want_vel:
+            v = teme_to_ecef(v, gmst, xp=np)
+        if output in ("geodetic", "geodetic_deg"):
+            lat, lon, alt = ecef_to_geodetic_xyz(
+                r[..., 0], r[..., 1], r[..., 2], xp=np)
+            if output == "geodetic_deg":
+                lat, lon = lat * RAD2DEG, lon * RAD2DEG
+            r = np.stack([lat, lon, alt], axis=-1)
+    if satellite_mask is not None:
+        m = np.asarray(satellite_mask, bool)
+        r = np.where(m[:, None, None], r, 0.0)
+        if want_vel:
+            v = np.where(m[:, None, None], v, 0.0)
+        err = np.where(m[:, None], err, np.int32(-1))
+    r = r.astype(np.float32)
+    v = v.astype(np.float32) if want_vel else None
+    if layout == "sat_major":
+        return r, v, err
+    if layout == "planes":
+        return (np.transpose(r, (2, 1, 0)),
+                np.transpose(v, (2, 1, 0)) if want_vel else None, err.T)
+    return (np.transpose(r, (1, 0, 2)),
+            np.transpose(v, (1, 0, 2)) if want_vel else None, err.T)
+
+
+def _host_route_ok(cat: SatCatalog, n_props: int) -> bool:
+    """True when a fast-method grid should run on the native host
+    engine instead of the accelerator (see SMALL_GRID_PROPS)."""
+    if n_props > SMALL_GRID_PROPS or SMALL_GRID_PROPS <= 0:
+        return False
+    try:
+        if jax.default_backend() == "cpu":
+            return False  # local XLA:CPU pays no tunnel tax
+    except Exception:
+        return False
+    return cat.scalar_vecs is not None
+
 
 def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
               velocities: bool = True, layout: str = "time_major",
@@ -818,6 +971,13 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
     jd_sum = jnp.asarray((jd_h + fr_h)[:, None], dt)
 
     if method == "fast":
+        # tiny grids skip the accelerator entirely: the native host
+        # SIMD engine beats a tunnel dispatch+fetch below ~2^18 points
+        # (reference: the always-on-host scalar loop, README.md:25-33)
+        if _host_route_ok(cat, jd_h.size * len(cat)):
+            return _propagate_host_small(cat, jd_h, fr_h, output,
+                                         velocities, layout,
+                                         satellite_mask)
         engine = default_engine()
         ref = cat.epoch_min_jd
         t_time = jnp.asarray(((jd_h - ref) + fr_h) * MINUTES_PER_DAY, dt)

@@ -280,3 +280,61 @@ def test_device_put_packed_roundtrip():
             np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
         else:
             assert b == a
+
+
+def test_small_grid_host_route(mixed_cat, monkeypatch):
+    """Small grids on accelerator backends route to the native host
+    SIMD engine (VERDICT r4 #5): the routed result must match the f64
+    device path within the scalar-parity budget, carry the same error/
+    mask/layout semantics, and the predicate must gate on grid size,
+    backend, and native availability."""
+    import astroz_tpu.propagation as P
+
+    if mixed_cat.scalar_vecs is None:
+        pytest.skip("native library unavailable")
+
+    epoch = mixed_cat.epochs_jd[0]
+    jd_h = epoch + np.array([0.0, 0.25, 0.5])
+    fr_h = np.zeros_like(jd_h)
+
+    r64, v64, e64 = propagate(mixed_cat, jd_h, method="f64")
+    rh, vh, eh = P._propagate_host_small(mixed_cat, jd_h, fr_h, "teme",
+                                         True, "time_major", None)
+    assert isinstance(rh, np.ndarray) and rh.dtype == np.float32
+    np.testing.assert_array_equal(eh, np.asarray(e64))
+    # host engine is f64 scalar parity; f32 cast dominates the error
+    np.testing.assert_allclose(rh, np.asarray(r64), atol=2e-3)
+    np.testing.assert_allclose(vh, np.asarray(v64), atol=1e-5)
+
+    # layouts + ecef + mask through the host route
+    rp, vp, ep_ = P._propagate_host_small(mixed_cat, jd_h, fr_h, "ecef",
+                                          True, "planes", None)
+    assert rp.shape == (3, 3, 5) and ep_.shape == (3, 5)
+    re64, _, _ = propagate(mixed_cat, jd_h, method="f64", output="ecef")
+    np.testing.assert_allclose(np.moveaxis(rp, 0, -1),
+                               np.asarray(re64), atol=2e-3)
+    mask = np.array([True, False, True, True, False])
+    rm, vm, em = P._propagate_host_small(mixed_cat, jd_h, fr_h, "teme",
+                                         True, "time_major", mask)
+    assert (em[:, 1] == -1).all() and (rm[:, 1] == 0).all()
+    assert (em[:, 0] == 0).all()
+
+    # velocities=False drops v
+    rn, vn, en = P._propagate_host_small(mixed_cat, jd_h, fr_h, "teme",
+                                         False, "time_major", None)
+    assert vn is None
+    np.testing.assert_array_equal(rn, rh)
+
+    # routing predicate: accel backend + small grid + native only
+    monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+    assert P._host_route_ok(mixed_cat, 1000)
+    assert not P._host_route_ok(mixed_cat, P.SMALL_GRID_PROPS + 1)
+    monkeypatch.setattr(P.jax, "default_backend", lambda: "cpu")
+    assert not P._host_route_ok(mixed_cat, 1000)
+
+    # end-to-end: with an accel backend reported, propagate() returns
+    # host-resident numpy without touching any device program
+    monkeypatch.setattr(P.jax, "default_backend", lambda: "tpu")
+    rr, vv, ee = propagate(mixed_cat, jd_h, method="fast")
+    assert isinstance(rr, np.ndarray)
+    np.testing.assert_allclose(rr, rh, atol=1e-6)
