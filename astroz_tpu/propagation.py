@@ -55,7 +55,7 @@ OUTPUT_MODES = ("teme", "ecef", "geodetic", "geodetic_deg")
 LAYOUTS = ("time_major", "sat_major", "planes")
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, init=False)
 class SatCatalog:
     """An initialized satellite catalog: SGP4 elements + deep-space
     coefficients as full-catalog SoA pytrees.
@@ -63,10 +63,15 @@ class SatCatalog:
     The analogue of the reference's ``Constellation`` (batch lists +
     origIndices scatter maps, Constellation.zig:101-200) collapsed into
     two pytrees — no packing, no padding, no index maps.
+
+    The device pytrees (``els``/``deep``/``els_deep``/``deep_sub``) are
+    LAZY: ``build_catalog`` starts the packed host->device transfer on
+    a background thread and the first property access resolves it —
+    so catalog construction never blocks on a (possibly degraded)
+    remote-TPU tunnel, and the transfer + its one unpack-program
+    compile ride under the caller's first-sweep trace/compile.
     """
 
-    els: Sgp4Elements
-    deep: Optional[DeepElements]
     grav: GravityModel
     satnum: np.ndarray  # int64 host array
     names: Optional[Tuple[Optional[str], ...]] = None
@@ -76,16 +81,56 @@ class SatCatalog:
     # reference's SGP4/SDP4 batch split (Constellation.zig:115-184),
     # except the subsets stay dense unpadded arrays.
     deep_idx: Optional[np.ndarray] = None
-    els_deep: Optional[Sgp4Elements] = None
-    deep_sub: Optional[DeepElements] = None
-    #: host-side numpy copies of the few element columns the staging
-    #: layer reads back (epoch_jd, ecco, is_deep, error, + deep twins),
-    #: stashed at build time BEFORE the async device transfer — so no
-    #: host-side property ever blocks on (or round-trips through) a
+    #: host-side numpy copies of the columns the staging layer reads
+    #: back (epoch_jd, ecco, is_deep, error, + deep twins, full init
+    #: pytrees), stashed at build time BEFORE the device transfer — so
+    #: no host-side property ever blocks on (or round-trips through) a
     #: remote-TPU tunnel. Optional: catalogs built by other paths
     #: (pad/shard) fall back to fetching from the device arrays.
     host: Optional[dict] = dataclasses.field(
         default=None, repr=False, compare=False)
+    #: resolved 4-tuple ``(els, deep, els_deep, deep_sub)`` of device
+    #: pytrees, or a zero-arg callable producing it (a background
+    #: transfer's ``Future.result``)
+    dev: object = dataclasses.field(default=None, repr=False,
+                                    compare=False)
+
+    def __init__(self, els: Sgp4Elements = None,
+                 deep: Optional[DeepElements] = None,
+                 grav: GravityModel = None, satnum: np.ndarray = None,
+                 names=None, deep_idx=None, els_deep=None,
+                 deep_sub=None, host=None, dev=None):
+        object.__setattr__(self, "grav", grav)
+        object.__setattr__(self, "satnum", satnum)
+        object.__setattr__(self, "names", names)
+        object.__setattr__(self, "deep_idx", deep_idx)
+        object.__setattr__(self, "host", host)
+        object.__setattr__(self, "dev",
+                           dev if dev is not None
+                           else (els, deep, els_deep, deep_sub))
+
+    def _resolve(self):
+        d = self.dev
+        if callable(d):
+            d = d()
+            object.__setattr__(self, "dev", d)
+        return d
+
+    @property
+    def els(self) -> Sgp4Elements:
+        return self._resolve()[0]
+
+    @property
+    def deep(self) -> Optional[DeepElements]:
+        return self._resolve()[1]
+
+    @property
+    def els_deep(self) -> Optional[Sgp4Elements]:
+        return self._resolve()[2]
+
+    @property
+    def deep_sub(self) -> Optional[DeepElements]:
+        return self._resolve()[3]
 
     def _host(self, key: str, fallback):
         if self.host is not None and key in self.host:
@@ -93,6 +138,8 @@ class SatCatalog:
         return np.asarray(fallback())
 
     def __len__(self) -> int:
+        if self.host is not None and "n_sats" in self.host:
+            return self.host["n_sats"]
         return int(self.els.no_kozai.shape[0])
 
     @property
@@ -109,6 +156,8 @@ class SatCatalog:
 
     @property
     def has_deep(self) -> bool:
+        if self.host is not None and "has_deep" in self.host:
+            return self.host["has_deep"]
         return self.deep is not None
 
     @cached_property
@@ -124,7 +173,7 @@ class SatCatalog:
 
     @cached_property
     def deep_epochs_jd(self) -> Optional[np.ndarray]:
-        if self.els_deep is None:
+        if not self.has_deep:
             return None
         return self._host("deep_epoch_jd", lambda: self.els_deep.epoch_jd)
 
@@ -139,17 +188,21 @@ class SatCatalog:
         every call: ``(t_sat, t_sat_deep, deep_mask, deep_inv)`` —
         epoch offsets in minutes relative to the earliest epoch, plus
         the deep-substitution expansion map (per-satellite bool mask +
-        index into the deep subset). Cached so a propagate() call
-        enqueues zero eager per-op device work."""
+        index into the deep subset). Computed from the HOST epoch
+        copies (never resolving the lazy device transfer) and staged
+        with async device_puts — a propagate() call then enqueues zero
+        eager per-op device work and zero compiles."""
         ref = self.epoch_min_jd
-        t_sat = (self.els.epoch_jd - ref) * MINUTES_PER_DAY
-        if self.els_deep is not None:
-            t_sat_deep = ((self.els_deep.epoch_jd - ref)
-                          * MINUTES_PER_DAY)
+        t_sat = jax.device_put(
+            jnp.asarray((self.epochs_jd - ref) * MINUTES_PER_DAY))
+        if self.has_deep:
+            t_sat_deep = jax.device_put(jnp.asarray(
+                (self.deep_epochs_jd - ref) * MINUTES_PER_DAY))
             is_deep_h = self.is_deep
             rows = np.maximum(np.cumsum(is_deep_h) - 1, 0)
-            deep_mask = jnp.asarray(is_deep_h)
-            deep_inv = jnp.asarray(rows.astype(np.int32))
+            deep_mask = jax.device_put(jnp.asarray(is_deep_h))
+            deep_inv = jax.device_put(
+                jnp.asarray(rows.astype(np.int32)))
         else:
             t_sat_deep = deep_mask = deep_inv = None
         return t_sat, t_sat_deep, deep_mask, deep_inv
@@ -191,17 +244,36 @@ class SatCatalog:
         if k_width > 256:
             return None
         perm = np.asarray(perm)
-        _, t_sat_deep, _, _ = self.fast_staging
+        ref = self.epoch_min_jd
 
-        @jax.jit
-        def permute(els_deep, deep_sub, tsd):
+        if self.host is not None and "els_deep_np" in self.host:
+            # permute in numpy on the build-time host pytrees, then one
+            # packed transfer — the jitted device permute this replaces
+            # cost a ~5 s remote compile per catalog signature
+            els_d = self.host["els_deep_np"]
+            deep_d = self.host["deep_sub_np"]
+            tsd_h = (self.host["deep_epoch_jd"] - ref) * MINUTES_PER_DAY
+
             def take(x):
-                return x[perm] if getattr(x, "ndim", 0) else x
-            return (jax.tree_util.tree_map(take, els_deep),
-                    jax.tree_util.tree_map(take, deep_sub), tsd[perm])
+                return np.asarray(x)[perm] if getattr(x, "ndim", 0) else x
 
-        els_p, deep_p, tsd_p = permute(self.els_deep, self.deep_sub,
-                                       t_sat_deep)
+            tree = (jax.tree_util.tree_map(take, els_d),
+                    jax.tree_util.tree_map(take, deep_d), tsd_h[perm])
+            els_p, deep_p, tsd_p = _device_put_packed(
+                tree, jax.devices()[0])
+        else:
+            _, t_sat_deep, _, _ = self.fast_staging
+
+            @jax.jit
+            def permute(els_deep, deep_sub, tsd):
+                def take(x):
+                    return x[perm] if getattr(x, "ndim", 0) else x
+                return (jax.tree_util.tree_map(take, els_deep),
+                        jax.tree_util.tree_map(take, deep_sub),
+                        tsd[perm])
+
+            els_p, deep_p, tsd_p = permute(self.els_deep, self.deep_sub,
+                                           t_sat_deep)
         return (jax.device_put(jnp.asarray(onehot, jnp.bfloat16)),
                 jax.device_put(jnp.asarray(keep, jnp.float32)),
                 k_width, g, els_p, deep_p, tsd_p)
@@ -261,7 +333,7 @@ class SatCatalog:
         if not len(self):
             return 5
         ecc = self._host("ecco", lambda: self.els.ecco)
-        if self.els_deep is not None:
+        if self.has_deep:
             ecc = ecc[~self.is_deep]
         max_ecc = float(ecc.max()) if ecc.size else 0.0
         if max_ecc < 0.05:
@@ -279,7 +351,7 @@ class SatCatalog:
         clip tames the high-e start; measured ~8e-7 rad either way,
         rung-gated in tests/test_fast.py) — and real deep catalogs top
         out at Molniya/HEO e~0.74."""
-        if self.els_deep is None:
+        if not self.has_deep:
             return 8
         max_ecc = float(self._host("deep_ecco",
                                    lambda: self.els_deep.ecco).max())
@@ -445,31 +517,50 @@ def catalog_from_elements(els: Sgp4Elements, grav: GravityModel,
             "ecco": np.asarray(els.ecco),
             "is_deep": np.asarray(els.is_deep),
             "error": np.asarray(els.error),
+            "n_sats": int(els.no_kozai.shape[0]),
+            "has_deep": any_deep,
             # full numpy pytrees (~10 MB at 13k sats): the small-grid
-            # host route packs its native element matrix from these
-            "els_np": els, "deep_np": deep}
+            # host route packs its native element matrix from these,
+            # merge_staging permutes its deep compaction on them
+            "els_np": els, "deep_np": deep,
+            "els_deep_np": els_deep, "deep_sub_np": deep_sub}
     if any_deep:
         host["deep_epoch_jd"] = np.asarray(els_deep.epoch_jd)
         host["deep_ecco"] = np.asarray(els_deep.ecco)
 
+    # the packed transfer + its one unpack-program compile run on a
+    # BACKGROUND thread and resolve at first property access: catalog
+    # construction never blocks on the tunnel, and through a remote
+    # compile service the 1-10 s unpack compile rides under the
+    # caller's own first-sweep trace/compile. The reference's analogue
+    # is ms-scale local packing (Constellation.zig:101-200), where
+    # blocking was free; here overlap is the whole game.
     default = jax.devices()[0]
-    els, deep, els_deep, deep_sub = _device_put_packed(
-        (els, deep, els_deep, deep_sub), default)
-    # NO block_until_ready: device_put is asynchronous, so the packed
-    # transfers (0.5-62 s through a degraded tunnel) ride the wire
-    # while the caller traces/compiles its first sweep — the reference
-    # analogue is ms-scale local packing (Constellation.zig:101-200),
-    # where blocking was free; here overlap is the whole game.
+    fut = _transfer_pool().submit(
+        _device_put_packed, (els, deep, els_deep, deep_sub), default)
     t3 = _time.perf_counter()
     if verbose:
         parse = f"parse {_t_parse:.2f}s  " if _t_parse is not None else ""
         print(f"# ingest: {parse}init {t1 - t0:.2f}s  "
-              f"partition {t2 - t1:.2f}s  transfer-enqueue "
-              f"{t3 - t2:.2f}s (completes async under first compile)",
+              f"partition {t2 - t1:.2f}s  transfer backgrounded "
+              f"({t3 - t2:.2f}s; resolves under first compile)",
               file=sys.stderr)
-    return SatCatalog(els=els, deep=deep, grav=grav, satnum=satnum,
-                      names=names, deep_idx=deep_idx, els_deep=els_deep,
-                      deep_sub=deep_sub, host=host)
+    return SatCatalog(grav=grav, satnum=satnum, names=names,
+                      deep_idx=deep_idx, host=host, dev=fut.result)
+
+
+_TRANSFER_POOL = None
+
+
+def _transfer_pool():
+    """Single background thread for catalog device transfers (lazy so
+    import never spawns threads; one thread keeps transfers ordered)."""
+    global _TRANSFER_POOL
+    if _TRANSFER_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _TRANSFER_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="astroz-ingest")
+    return _TRANSFER_POOL
 
 
 @partial(jax.jit, static_argnames=("spec",))
@@ -956,7 +1047,10 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
     if method not in ("fast", "f64"):
         raise ValueError("method must be 'fast' or 'f64'")
 
-    dt = cat.els.epoch_jd.dtype
+    # dtype probe must not resolve the lazy device transfer
+    dt = (cat.host["els_np"].epoch_jd.dtype
+          if cat.host is not None and "els_np" in cat.host
+          else cat.els.epoch_jd.dtype)
     # host copies first: the prologue math below runs in numpy so a
     # propagate() call enqueues only the jitted program (plus two tiny
     # transfers), never eager per-op device dispatches — on a remote
