@@ -350,7 +350,9 @@ def sgp4_grid(vecs: np.ndarray, tsince: np.ndarray
     n_t = tsince.shape[1]
     out = np.empty((n_s, n_t, 6), np.float64)
     err = np.empty((n_s, n_t), np.int32)
-    n_workers = min(os.cpu_count() or 1, n_s, 16)
+    n_env = int(os.environ.get("ASTROZ_NATIVE_THREADS", "0"))
+    n_workers = n_env if n_env > 0 else min(os.cpu_count() or 1, n_s, 16)
+    n_workers = min(n_workers, n_s)
     if n_workers > 1 and n_s * n_t >= 10_000:
         # thread over satellite ranges writing DISJOINT rows of the
         # shared buffers (ctypes releases the GIL) — the reference's

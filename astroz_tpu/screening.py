@@ -540,29 +540,31 @@ def screen_all_ring(cat: SatCatalog, jd, fr=None, *,
         return (np.empty(0, np.int64), np.empty(0, np.int64),
                 np.empty(0, np.float64), np.empty(0, np.int64))
 
-    # refine on the candidate subset only: gather the unique candidate
-    # columns (cross-shard gather handled by GSPMD), then exact
-    # direct-difference distances — chunks fan out ROUND-ROBIN over the
-    # mesh devices (dispatch is async, so devices refine concurrently;
-    # a dense candidate burst no longer re-centralizes on device 0)
-    us, inv = np.unique(np.concatenate([ci, cj]), return_inverse=True)
-    ii_l, jj_l = inv[:ci.size], inv[ci.size:]
-    r_sub_h = r[:, jnp.asarray(us), :]
+    # refine on the candidate subset only, SHARDED: each round-robin
+    # chunk gathers just ITS OWN unique candidate columns from the
+    # shard-resident position array (cross-shard gather handled by
+    # GSPMD) and lands only that slice on its device — per-device
+    # transfer and memory stay O(the chunk's candidate share), never
+    # O(all candidates) x n_devices (replicating the full column set
+    # to every device multiplied host->device traffic by the device
+    # count at 50k-sat scale). Chunks still fan out round-robin so a
+    # dense burst refines concurrently across the mesh.
     devs = list(mesh.devices.reshape(-1))
-    r_subs = {}
 
     chunk_cap = max(1 << 12, (1 << 26) // max(n_times, 1))
     pending = []
     for c_idx, c0 in enumerate(range(0, ci.size, chunk_cap)):
         c1 = min(c0 + chunk_cap, ci.size)
-        pad = 1 << max(6, math.ceil(math.log2(c1 - c0)))
+        us_c, inv_c = np.unique(
+            np.concatenate([ci[c0:c1], cj[c0:c1]]), return_inverse=True)
+        nc = c1 - c0
+        pad = 1 << max(6, math.ceil(math.log2(nc)))
         ii = np.zeros(pad, np.int64)
         jj = np.zeros(pad, np.int64)
-        ii[:c1 - c0], jj[:c1 - c0] = ii_l[c0:c1], jj_l[c0:c1]
+        ii[:nc], jj[:nc] = inv_c[:nc], inv_c[nc:]
         dev = devs[c_idx % len(devs)]
-        if dev not in r_subs:
-            r_subs[dev] = jax.device_put(r_sub_h, dev)
-        d, t = _refine_pairs(r_subs[dev],
+        r_sub_c = jax.device_put(r[:, jnp.asarray(us_c), :], dev)
+        d, t = _refine_pairs(r_sub_c,
                              jax.device_put(jnp.asarray(ii), dev),
                              jax.device_put(jnp.asarray(jj), dev), pad)
         pending.append((c0, c1, d, t))
