@@ -300,13 +300,28 @@ def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     """
     eo1 = u
     sineo1, coseo1 = sincos(eo1)
-    for _ in range(iters):
+    for _ in range(iters - 1):
         denom = 1.0 - coseo1 * axnl - sineo1 * aynl
         tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / denom
         # minimum/maximum instead of jnp.clip: clip lowers with f64
         # constants under x64, which Mosaic cannot compile
         eo1 = eo1 + jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
         sineo1, coseo1 = sincos(eo1)
+    # final trip: the step d is tiny on a converged ladder (the rung
+    # sizing guarantees the PREVIOUS trip already reached ~sqrt(floor)
+    # ~ 5e-3 rad), so sin/cos update by an exact small-angle rotation —
+    # sin d / cos d to 3rd/2nd order, error ~d^4/24 (< f32 floor for
+    # d <= 0.06) — instead of a full polynomial sincos recompute.
+    # Rung-gated in tests/test_fast.py at 1.2x each rung bound.
+    denom = 1.0 - coseo1 * axnl - sineo1 * aynl
+    tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / denom
+    d = jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
+    eo1 = eo1 + d
+    d2h = 0.5 * d * d
+    sind = d * (1.0 - _f32(1.0 / 3.0) * d2h)
+    cosd = 1.0 - d2h
+    sineo1, coseo1 = (sineo1 * cosd + coseo1 * sind,
+                      coseo1 * cosd - sineo1 * sind)
     return eo1, sineo1, coseo1
 
 
@@ -460,7 +475,10 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
     xke32 = _f32(grav.xke)
     am = a * tempa * tempa
     am_safe = jnp.where(am > 0.0, am, _f32(1.0))
-    nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
+    # nm = xke / am^1.5 as rsqrt(am)^3: one rsqrt + two muls, no divide
+    # (a VPU f32 divide is a multi-op reciprocal+Newton sequence)
+    rsq_am = jax.lax.rsqrt(am_safe)
+    nm = xke32 * rsq_am * rsq_am * rsq_am
 
     em = ecco - tempe
     error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), jnp.int32(1), error)
@@ -506,10 +524,12 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     pl_safe = jnp.where(pl > 0.0, pl, _f32(1.0))
 
     rl = am * (1.0 - ecose)
+    rl_inv = 1.0 / rl  # shared: three downstream quotients by rl
     betal = jnp.sqrt(jnp.abs(1.0 - el2))
     temp_b = esine / (1.0 + betal)
-    sinu = am / rl * (sineo1 - aynl - axnl * temp_b)
-    cosu = am / rl * (coseo1 - axnl + aynl * temp_b)
+    am_rl = am * rl_inv
+    sinu = am_rl * (sineo1 - aynl - axnl * temp_b)
+    cosu = am_rl * (coseo1 - axnl + aynl * temp_b)
     sin2u = (cosu + cosu) * sinu
     cos2u = 1.0 - 2.0 * sinu * sinu
     temp_p = 1.0 / pl_safe
@@ -538,8 +558,8 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     if not want_vel:
         return mrt_re * ux, mrt_re * uy, mrt_re * uz, error
 
-    rdotl = jnp.sqrt(am_safe) * esine / rl
-    rvdotl = jnp.sqrt(pl_safe) / rl
+    rdotl = jnp.sqrt(am_safe) * esine * rl_inv
+    rvdotl = jnp.sqrt(pl_safe) * rl_inv
     mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
     rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
     vx_ = xmx * cossu - cnod * sinsu

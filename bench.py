@@ -382,7 +382,7 @@ def main():
     good_elapsed = N_SATS * N_TIMES * INNER_REPS / 3.9e9
     on_tpu = jax.devices()[0].platform == "tpu"
     elapsed = measure()
-    for _ in range(4 if on_tpu else 0):
+    for _ in range(7 if on_tpu else 0):
         if elapsed <= good_elapsed:
             break
         time.sleep(40)
