@@ -1021,3 +1021,57 @@ def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
                               argpp, sin_node, cos_node, sinip, cosip,
                               aycof, xlcof, con41, x1mth2, x7thm1, error,
                               want_vel=want_vel)
+
+
+def sdp4_propagate_tables(els: Sgp4Elements, deep: DeepElements, tsince,
+                          grav: GravityModel,
+                          resonance_steps: Optional[int] = None,
+                          resonance_window: Optional[int] = None,
+                          tables=None):
+    """Full-f64 SDP4 for an ALL-DEEP subset, reading the resonance
+    integral from the precomputed step tables (the windowed gather of
+    :func:`_resonance_from_tables`) instead of dspace's while_loop
+    integrator — same 720-min Euler-Maclaurin step, evaluated
+    table-form so the program stays loop-free and compiles in seconds
+    through a remote compile service (the unified while_loop kernel
+    takes minutes there).
+
+    This is the accuracy ESCAPE for extreme-eccentricity half-day
+    lanes in the fast method: the split-precision deep tail's f32
+    Kepler/short-period stage loses ~tens of meters at e>0.7 perigees,
+    so the catalog layer recomputes those few columns here at full f64
+    and substitutes them into the deep planes before the merge
+    (propagation.SatCatalog.heo_escape). Everything after the
+    resonance evaluation is the exact f64 algorithm shared with
+    :func:`astroz_tpu.ops.sdp4.sdp4_propagate` via ``_sdp4_finish``
+    (reference: the post-dspace stage sequence, Sdp4.zig:881-970).
+
+    Returns ``(r, v, error)`` — time-major stacked ``(..., 3)`` km and
+    km/s, int32 error codes.
+    """
+    from .sdp4 import _sdp4_finish
+    from .sgp4 import update_secular
+
+    t = jnp.asarray(tsince, els.no_kozai.dtype)
+    mm, argpm, nodem, tempa, tempe, templ = update_secular(els, t)
+    theta = jnp.fmod(els.gsto + t * RPTIM, TWO_PI)
+    em = els.ecco + deep.dedt * t
+    inclm = els.inclo + deep.didt * t
+    argpm = argpm + deep.domdt * t
+    nodem = nodem + deep.dnodt * t
+    mm = mm + deep.dmdt * t
+
+    resonant = deep.irez != 0
+    nm_res, xl = _resonance_from_tables(deep, els, t, resonance_steps,
+                                        resonance_window, tables)
+    mm_geo = xl - nodem - argpm + theta
+    mm_half = xl - 2.0 * nodem + 2.0 * theta
+    mm = jnp.where(resonant,
+                   jnp.where(deep.irez == 1, mm_geo, mm_half), mm)
+    nm = jnp.where(resonant, nm_res,
+                   els.no_unkozai + jnp.zeros_like(mm))
+    error = jnp.broadcast_to(
+        els.error, jnp.broadcast_shapes(els.error.shape, jnp.shape(t))
+    ).astype(jnp.int32)
+    return _sdp4_finish(els, deep, grav, t, em, argpm, inclm, mm, nodem,
+                        nm, tempa, tempe, templ, error, els.is_deep)

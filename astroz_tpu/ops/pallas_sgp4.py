@@ -591,6 +591,28 @@ def build_merge_staging(deep_idx, n_sats: int, sat_block: int = SAT_BLOCK,
     return perm.reshape(-1), onehot, keep, K, g
 
 
+def merge_packed_positions(deep_idx, sat_block: int, K: int,
+                           group_blocks: int):
+    """Packed-lane position of each deep-subset row under
+    :func:`build_merge_staging`'s fill order — ``pos[slot]`` is the
+    flat lane index (into the ``n_groups * K``-wide compacted order)
+    where deep row ``slot`` lives. Replays the same group-major fill
+    loop (pad lanes clamp to row 0, so inverting ``perm`` directly
+    would mistake a pad lane in an earlier group for row 0's real
+    position). Pure numpy, once per catalog."""
+    import numpy as np
+
+    idx = np.asarray(deep_idx, np.int64)
+    pos = np.zeros(idx.size, np.int64)
+    fill: dict = {}
+    for slot, col in enumerate(idx):
+        grp = int(col) // (sat_block * group_blocks)
+        k = fill.get(grp, 0)
+        fill[grp] = k + 1
+        pos[slot] = grp * K + k
+    return pos
+
+
 def _merge_vals(vals, dr, dv, de, onehot, keep):
     """Substitute deep-column results into a shallow tail's outputs.
 

@@ -768,6 +768,21 @@ def sdp4_propagate(els: Sgp4Elements, deep: DeepElements, tsince,
     nodem = jnp.where(is_deep, nodem_d, nodem)
     nm = jnp.where(is_deep, nm_d, nm)
 
+    r, v, error = _sdp4_finish(els, deep, grav, t, em, argpm, inclm, mm,
+                               nodem, nm, tempa, tempe, templ, error,
+                               is_deep)
+    return r, v, error, carry
+
+
+def _sdp4_finish(els: Sgp4Elements, deep: DeepElements, grav: GravityModel,
+                 t, em, argpm, inclm, mm, nodem, nm, tempa, tempe, templ,
+                 error, is_deep):
+    """Shared post-secular tail of the unified f64 propagate: drag-updated
+    elements -> dpper -> per-point inclination coefficients ->
+    Kepler/pos-vel. Factored so the table-resonance escape path
+    (:func:`astroz_tpu.ops.fast.sdp4_propagate_tables`) reuses the exact
+    f64 algorithm after its own resonance evaluation (reference: the
+    stage sequence after dspace, Sdp4.zig:881-970)."""
     error = jnp.where((nm <= 0.0) & (error == 0), 2, error)
     nm_safe = jnp.where(nm > 0.0, nm, 1e-8)
     am = (grav.xke / nm_safe) ** X2O3 * tempa * tempa
@@ -817,11 +832,10 @@ def sdp4_propagate(els: Sgp4Elements, deep: DeepElements, tsince,
     x1mth2 = jnp.where(is_deep, x1mth2_d, els.x1mth2)
     x7thm1 = jnp.where(is_deep, x7thm1_d, els.x7thm1)
 
-    r, v, error = kepler_and_posvel(
+    return kepler_and_posvel(
         grav, am=am, nm=nm, ep=ep, xincp=xincp, nodep=nodep, argpp=argpp,
         mp=mp, aycof=aycof, xlcof=xlcof, con41=con41, x1mth2=x1mth2,
         x7thm1=x7thm1, error=error)
-    return r, v, error, carry
 
 
 def sdp4_propagate_scan(els: Sgp4Elements, deep: DeepElements, times,

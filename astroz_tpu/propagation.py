@@ -54,6 +54,17 @@ OUTPUT_MODES = ("teme", "ecef", "geodetic", "geodetic_deg")
 #: reference's into-buffer stride control, satrec.zig:896-988).
 LAYOUTS = ("time_major", "sat_major", "planes")
 
+#: eccentricity above which half-day-resonant (irez == 2) deep lanes
+#: escape the fast method's f32 tail to a full-f64 recompute (see
+#: SatCatalog.heo_escape). 0.7 keeps the escape set to Molniya-class
+#: outliers; lower it to trade sweep time for accuracy on HEO-heavy
+#: catalogs.
+HEO_ESCAPE_ECC = float(os.environ.get("ASTROZ_HEO_ESCAPE_ECC", "0.7"))
+#: more escape lanes than this and the f64 recompute would stop being
+#: a rounding error of the sweep — such a catalog keeps the plain
+#: fast-path accuracy instead
+_HEO_ESCAPE_CAP = 512
+
 
 @dataclass(frozen=True, init=False)
 class SatCatalog:
@@ -295,6 +306,87 @@ class SatCatalog:
     def _resonance_tables_cache(self) -> dict:
         return {}
 
+    @cached_property
+    def heo_escape(self):
+        """f64 accuracy-escape staging for extreme half-day HEO lanes.
+
+        The fast method's f32 deep tail loses tens of meters near
+        e>0.7 perigees (the 47 m worst case of the differential sweep
+        lived on ``irez == 2 & ecco > HEO_ESCAPE_ECC`` lanes); real
+        catalogs hold only a handful of such satellites
+        (Molniya-class), so the fast paths recompute exactly those
+        columns at full f64 via the loop-free table-resonance
+        propagate (:func:`astroz_tpu.ops.fast.sdp4_propagate_tables`)
+        and substitute them into the small deep planes BEFORE the
+        merge — never touching the big output buffers.
+
+        ``None`` when no lane qualifies (or an unrealistic catalog
+        exceeds the ``_HEO_ESCAPE_CAP`` — the f64 recompute must stay
+        a rounding error of the sweep cost). Otherwise
+        ``(els_x, deep_x, t_sat_x, pos_dev, idx_dev)``: the f64
+        element subsets, epoch offsets (minutes), packed-lane positions
+        for the fused merge path (``None`` without merge staging), and
+        deep-subset column positions for the partitioned path.
+        """
+        if not self.has_deep:
+            return None
+        if self.host is not None and "els_deep_np" in self.host:
+            els_d = self.host["els_deep_np"]
+            deep_d = self.host["deep_sub_np"]
+            ecc = np.asarray(els_d.ecco)
+            irez = np.asarray(deep_d.irez)
+        else:
+            els_d = deep_d = None
+            ecc = np.asarray(self.els_deep.ecco)
+            irez = np.asarray(self.deep_sub.irez)
+        mask = (irez == 2) & (ecc > HEO_ESCAPE_ECC)
+        n_x = int(mask.sum())
+        if n_x == 0 or n_x > _HEO_ESCAPE_CAP:
+            return None
+        idx = np.nonzero(mask)[0]
+
+        if els_d is not None:
+            def take_np(x):
+                a = np.asarray(x)
+                return a[idx] if a.ndim else a
+
+            tree = (jax.tree_util.tree_map(take_np, els_d),
+                    jax.tree_util.tree_map(take_np, deep_d))
+            els_x, deep_x = _device_put_packed(tree, jax.devices()[0])
+        else:
+            idx_j = jnp.asarray(idx)
+
+            def take(x):
+                return x[idx_j] if getattr(x, "ndim", 0) else x
+
+            els_x = jax.tree_util.tree_map(take, self.els_deep)
+            deep_x = jax.tree_util.tree_map(take, self.deep_sub)
+        t_sat_x = jax.device_put(jnp.asarray(
+            (np.asarray(self.deep_epochs_jd)[idx] - self.epoch_min_jd)
+            * MINUTES_PER_DAY))
+        pos_dev = None
+        staging = self.merge_staging
+        if staging is not None:
+            from .ops.pallas_sgp4 import SAT_BLOCK, merge_packed_positions
+            _, _, k_width, g, _, _, _ = staging
+            pos = merge_packed_positions(self.deep_idx, SAT_BLOCK,
+                                         k_width, g)
+            pos_dev = jax.device_put(jnp.asarray(pos[idx], jnp.int32))
+        idx_dev = jax.device_put(jnp.asarray(idx, jnp.int32))
+        return els_x, deep_x, t_sat_x, pos_dev, idx_dev
+
+    def escape_tables(self, steps: int):
+        """Resonance tables for the heo_escape subset — cached like
+        :meth:`resonance_tables`."""
+        key = ("escape", steps)
+        tb = self._resonance_tables_cache.get(key)
+        if tb is None:
+            from .ops.fast import build_resonance_tables
+            els_x, deep_x = self.heo_escape[0], self.heo_escape[1]
+            tb = build_resonance_tables(deep_x, els_x, n_steps=steps)
+            self._resonance_tables_cache[key] = tb
+        return tb
+
     def resonance_tables(self, steps: int):
         """Catalog-cached deep-space resonance integration tables at the
         given static depth: the sequential O(steps) Euler-Maclaurin scan
@@ -326,6 +418,16 @@ class SatCatalog:
         IS the deliberate drift budget — shallow drag perturbs em by
         well under 20% over SGP4's validity horizon (if it didn't, the
         propagation has already flagged error 1/4 on that lane).
+        That drift budget is made EXPLICIT for drag-extreme lanes: the
+        rung keys on ``ecco + |bstar|(|cc4|*1440 + 2|cc5|)`` — the
+        linear drag eccentricity growth over a +-1-day horizon plus the
+        bounded periodic cc5 term — because a high-bstar LEO propagated
+        backward a few hours can inflate em far past its epoch rung
+        (measured: a bstar=4e-4 e=0.049 lane hit 341 m under the 3-trip
+        rung at t=-240 min; 3.9 m once the inflated bound selects 8).
+        Real catalogs inflate the bound by <0.003 so the headline rung
+        stays 3; beyond +-1 day the SGP4 drag model itself is the
+        dominant error on such lanes.
         Only the near-earth lanes count — the
         deep partition (where the high-e HEOs live) runs its own
         kernel at the full 8 — so a mixed catalog keeps the cheap
@@ -333,9 +435,23 @@ class SatCatalog:
         if not len(self):
             return 5
         ecc = self._host("ecco", lambda: self.els.ecco)
+        if self.host is not None and "els_np" in self.host:
+            els_h = self.host["els_np"]
+            bstar = np.asarray(els_h.bstar)
+            cc4 = np.asarray(els_h.cc4)
+            cc5 = np.where(np.asarray(els_h.isimp), 0.0,
+                           np.asarray(els_h.cc5))
+        else:
+            els_d = self.els
+            bstar = np.asarray(els_d.bstar)
+            cc4 = np.asarray(els_d.cc4)
+            cc5 = np.where(np.asarray(els_d.isimp), 0.0,
+                           np.asarray(els_d.cc5))
+        ecc = ecc + np.abs(bstar) * (np.abs(cc4) * 1440.0
+                                     + 2.0 * np.abs(cc5))
         if self.has_deep:
             ecc = ecc[~self.is_deep]
-        max_ecc = float(ecc.max()) if ecc.size else 0.0
+        max_ecc = min(float(ecc.max()), 0.999) if ecc.size else 0.0
         if max_ecc < 0.05:
             return 3
         if max_ecc < 0.2:
@@ -799,6 +915,29 @@ def _propagate_fast_shallow(els: Sgp4Elements, t_time, t_sat, jd_sum,
     return _finalize_planes(r3, v3, err, jd_sum, output, want_vel, layout)
 
 
+def _apply_escape(escape, t_time, grav, resonance_steps,
+                  resonance_window, want_vel, d_r3, d_v3, d_err):
+    """Substitute full-f64 recomputes of the extreme-eccentricity
+    escape lanes (SatCatalog.heo_escape) into the deep component
+    planes — a tiny scatter on the (3, T, n_deep-ish) buffers, traced
+    inside the caller's program so it costs no extra dispatch."""
+    if escape is None:
+        return d_r3, d_v3, d_err
+    from .ops.fast import sdp4_propagate_tables
+    els_x, deep_x, t_sat_x, pos_x, tables_x = escape
+    ts_x = t_time[:, None] - t_sat_x[None, :]
+    xr, xv, xe = sdp4_propagate_tables(els_x, deep_x, ts_x, grav,
+                                       resonance_steps, resonance_window,
+                                       tables_x)
+    d_r3 = d_r3.at[:, :, pos_x].set(
+        jnp.moveaxis(xr, -1, 0).astype(d_r3.dtype))
+    if want_vel:
+        d_v3 = d_v3.at[:, :, pos_x].set(
+            jnp.moveaxis(xv, -1, 0).astype(d_v3.dtype))
+    d_err = d_err.at[:, pos_x].set(xe.astype(d_err.dtype))
+    return d_r3, d_v3, d_err
+
+
 @partial(jax.jit,
          static_argnames=("grav", "output", "want_vel", "kepler_iters",
                           "engine", "resonance_steps", "layout",
@@ -812,10 +951,16 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                 resonance_steps=None,
                                 layout: str = "time_major",
                                 resonance_window=None, tables=None,
-                                deep_kepler_iters: int = 8):
+                                deep_kepler_iters: int = 8,
+                                escape=None):
     """Fast path for mixed catalogs: shallow kernel over all satellites,
     the deep-space kernel only over the deep subset, substituted into
     the deep columns by a scatter.
+
+    ``escape`` (optional): ``(els_x, deep_x, t_sat_x, pos_x, tables_x)``
+    from :meth:`SatCatalog.heo_escape` — extreme-eccentricity lanes
+    recomputed at full f64 and substituted into the deep planes (at
+    deep-subset positions ``pos_x``) before the big scatter.
 
     ``deep_idx`` is a TRACED i32 array of deep-column positions
     (``SatCatalog.deep_idx_dev`` keeps it device-resident). Traced
@@ -835,6 +980,9 @@ def _propagate_fast_partitioned(els: Sgp4Elements, els_deep: Sgp4Elements,
                                      grav, engine, resonance_steps,
                                      want_vel, resonance_window, tables,
                                      deep_kepler_iters)
+    d_r3, d_v3, d_err = _apply_escape(escape, t_time, grav,
+                                      resonance_steps, resonance_window,
+                                      want_vel, d_r3, d_v3, d_err)
     r3, v3, err = _shallow_planes(els, t_time, t_sat, grav, kepler_iters,
                                   engine, want_vel)
     idx = deep_idx.astype(jnp.int32)
@@ -861,7 +1009,8 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
                           resonance_window=None, tables_p=None,
                           group_blocks: int = 1,
                           interpret: bool = False,
-                          deep_kepler_iters: int = 8):
+                          deep_kepler_iters: int = 8,
+                          escape=None):
     """Pallas-engine fast path for mixed catalogs with the deep merge
     FUSED into the kernels — no XLA scatter on the big buffers (the
     scatter measured 3-5 ms per sweep in every formulation; see the
@@ -893,6 +1042,10 @@ def _propagate_fast_fused(els: Sgp4Elements, els_p: Sgp4Elements,
         want_vel=want_vel, resonance_window=resonance_window,
         tables=tables_p, sat_block=deep_sb, interpret=interpret)
     dr, dv, de = _unpack_outs(d_outs, want_vel)
+    # extreme-eccentricity lanes at their PACKED positions (escape[3]
+    # is pos_dev here), before the merge reads the deep planes
+    dr, dv, de = _apply_escape(escape, t_time, grav, resonance_steps,
+                               resonance_window, want_vel, dr, dv, de)
     outs = propagate_fast_pallas_sep_merge(
         els, t_time, t_sat, grav, dr, dv, de, merge_onehot, merge_keep,
         kepler_iters=kepler_iters, planes=True, want_vel=want_vel,
@@ -1096,22 +1249,31 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
                 max(tmax / 720.0, 1.0) + 1.0))))
             window = _resonance_window(ep_deep)
             staging = cat.merge_staging if engine == "pallas" else None
+            esc = cat.heo_escape
             if staging is not None:
                 onehot, keep, _k, g, els_p, deep_p, t_sat_p = staging
+                esc_arg = (None if esc is None else
+                           (esc[0], esc[1], esc[2], esc[3],
+                            cat.escape_tables(steps)))
                 r, v, err = _propagate_fast_fused(
                     cat.els, els_p, deep_p, onehot, keep, t_time, t_sat,
                     t_sat_p, jd_sum, cat.grav, output, velocities,
                     cat.kepler_iters, steps, layout, window,
                     cat.resonance_tables_packed(steps), g,
-                    deep_kepler_iters=cat.deep_kepler_iters)
+                    deep_kepler_iters=cat.deep_kepler_iters,
+                    escape=esc_arg)
             else:
+                esc_arg = (None if esc is None else
+                           (esc[0], esc[1], esc[2], esc[4],
+                            cat.escape_tables(steps)))
                 r, v, err = _propagate_fast_partitioned(
                     cat.els, cat.els_deep, cat.deep_sub,
                     cat.deep_idx_dev, t_time, t_sat, t_sat_deep,
                     jd_sum, cat.grav, output, velocities,
                     cat.kepler_iters, engine, steps, layout, window,
                     cat.resonance_tables(steps),
-                    deep_kepler_iters=cat.deep_kepler_iters)
+                    deep_kepler_iters=cat.deep_kepler_iters,
+                    escape=esc_arg)
     else:
         # minutes since each satellite's epoch — computed with the
         # jd/fr split so the subtraction happens at epoch-difference
