@@ -241,6 +241,11 @@ def main():
         res_steps = 4
         res_window = _resonance_window(cat.deep_epochs_jd)
         res_tables = cat.resonance_tables(res_steps)
+        # the f64 escape for extreme half-day lanes (the headline
+        # catalog's HEO band holds a handful) — benched because
+        # propagate() runs it; see SatCatalog.heo_escape
+        esc = cat.heo_escape
+        esc_tb = None if esc is None else cat.escape_tables(res_steps)
 
     # stage the (tiny) time arrays on device once; INNER_REPS copies of
     # the scenario epochs run in one program
@@ -271,12 +276,16 @@ def main():
                 t_sat_p, js, cat.grav, "teme", WANT_VEL,
                 cat.kepler_iters, res_steps, "planes", res_window,
                 cat.resonance_tables_packed(res_steps), g,
-                deep_kepler_iters=cat.deep_kepler_iters)
+                deep_kepler_iters=cat.deep_kepler_iters,
+                escape=(None if esc is None else
+                        (esc[0], esc[1], esc[2], esc[3], esc_tb)))
         return _propagate_fast_partitioned(
             cat.els, cat.els_deep, cat.deep_sub, cat.deep_idx_dev,
             ts, t_sat, t_sat_deep, js, cat.grav, "teme", WANT_VEL,
             cat.kepler_iters, engine, res_steps, "planes", res_window,
-            res_tables, deep_kepler_iters=cat.deep_kepler_iters)
+            res_tables, deep_kepler_iters=cat.deep_kepler_iters,
+            escape=(None if esc is None else
+                    (esc[0], esc[1], esc[2], esc[4], esc_tb)))
 
     def fetch(outs):
         # force real completion: on tunnel-attached dev chips
