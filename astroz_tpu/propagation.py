@@ -1215,16 +1215,20 @@ def propagate(cat: SatCatalog, jd, fr=None, *, output: str = "teme",
     fr_h = (np.zeros_like(jd_h) if fr is None
             else np.atleast_1d(np.asarray(fr, np.float64)))
     jd_h, fr_h = np.broadcast_arrays(jd_h, fr_h)
-    jd_sum = jnp.asarray((jd_h + fr_h)[:, None], dt)
-
     if method == "fast":
         # tiny grids skip the accelerator entirely: the native host
         # SIMD engine beats a tunnel dispatch+fetch below ~2^18 points
-        # (reference: the always-on-host scalar loop, README.md:25-33)
+        # (reference: the always-on-host scalar loop, README.md:25-33).
+        # NOTE: checked before ANY jnp array is built — even a lone
+        # jnp.asarray of the epoch column costs a ~0.35 ms device
+        # transfer through a remote tunnel, 3x the whole native sweep.
         if _host_route_ok(cat, jd_h.size * len(cat)):
             return _propagate_host_small(cat, jd_h, fr_h, output,
                                          velocities, layout,
                                          satellite_mask)
+    jd_sum = jnp.asarray((jd_h + fr_h)[:, None], dt)
+
+    if method == "fast":
         engine = default_engine()
         ref = cat.epoch_min_jd
         t_time = jnp.asarray(((jd_h - ref) + fr_h) * MINUTES_PER_DAY, dt)
