@@ -417,6 +417,14 @@ def propagate_sharded_fast(cat: SatCatalog, jd, fr=None, *, mesh: Mesh,
     split. ``engine`` selects the per-shard kernel ('pallas' on TPU
     when available, 'xla' otherwise); ``layout``/``velocities`` follow
     :func:`astroz_tpu.propagation.propagate`.
+
+    Accuracy note: the single-chip fast path recomputes extreme
+    half-day lanes (irez=2, e>0.7) at full f64
+    (SatCatalog.heo_escape); this sharded path keeps the plain f32
+    deep tail on those few lanes (~tens of meters there, still an
+    order of magnitude inside the 100 m budget). Use
+    :func:`propagate_sharded` (f64) when extreme-HEO meters matter on
+    multi-chip sweeps.
     """
     fn, args, (n_times, n_real) = stage_sharded_fast(
         cat, jd, fr, mesh=mesh, output=output, velocities=velocities,
