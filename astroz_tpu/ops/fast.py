@@ -472,13 +472,12 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
         not_simp, bstar * cc5 * (sin_mm - sinmao), _f32(0.0))
 
     # ---- semi-major axis / mean motion -----------------------------------
-    xke32 = _f32(grav.xke)
     am = a * tempa * tempa
     am_safe = jnp.where(am > 0.0, am, _f32(1.0))
-    # nm = xke / am^1.5 as rsqrt(am)^3: one rsqrt + two muls, no divide
+    # every am-derived power downstream (sqrt(am), nm/xke = am^-1.5)
+    # comes off this one rsqrt — no sqrt and no divide survive
     # (a VPU f32 divide is a multi-op reciprocal+Newton sequence)
     rsq_am = jax.lax.rsqrt(am_safe)
-    nm = xke32 * rsq_am * rsq_am * rsq_am
 
     em = ecco - tempe
     error = jnp.where(((em >= 1.0) | (em < -0.001)) & (error == 0), jnp.int32(1), error)
@@ -491,20 +490,26 @@ def shallow_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base,
     # constant on near-earth lanes, so its sincos is hoisted out of
     # the per-element kernel — same f32 sincos at staging, bit-equal)
 
-    return _kepler_posvel_f32(grav, kepler_iters, u_base, am, am_safe, nm,
-                              em, argpp, sin_node, cos_node, sinip, cosip,
-                              aycof, xlcof, con41, x1mth2, x7thm1, error,
-                              want_vel=want_vel)
+    return _kepler_posvel_f32(grav, kepler_iters, u_base, am, am_safe,
+                              rsq_am, em, argpp, sin_node, cos_node, sinip,
+                              cosip, aycof, xlcof, con41, x1mth2, x7thm1,
+                              error, want_vel=want_vel)
 
 
 def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
-                       am_safe, nm, ep, argpp, sin_node, cos_node, sinip,
-                       cosip, aycof, xlcof, con41, x1mth2, x7thm1, error,
-                       want_vel: bool = True):
+                       am_safe, rsq_am, ep, argpp, sin_node, cos_node,
+                       sinip, cosip, aycof, xlcof, con41, x1mth2, x7thm1,
+                       error, want_vel: bool = True):
     """Long-period terms -> Kepler -> short-period -> TEME components,
     all f32 (Sgp4.zig:646-750). The common back half of the near-earth
     and deep-space tails (the reference likewise routes SDP4 through
-    ``Sgp4.keplerAndPosVel``, Sdp4.zig:1280-1411)."""
+    ``Sgp4.keplerAndPosVel``, Sdp4.zig:1280-1411).
+
+    ``rsq_am`` is the caller's rsqrt(am_safe): every am power here
+    (sqrt(am), nm/xke = am^-1.5) is a product of it, and pl's powers
+    come off one rsqrt(pl) likewise — Mosaic runs no algebraic
+    simplifier, so spelling the divides/sqrts out as rsqrt products is
+    what keeps them out of the lowered kernel."""
     # ---- long-period terms + Kepler (Sgp4.zig:646-750) -------------------
     sin_argpp, cos_argpp = sincos(argpp)
     axnl = ep * cos_argpp
@@ -515,7 +520,6 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
                                             iters=kepler_iters)
 
     # ---- short-period corrections + position/velocity --------------------
-    xke32 = _f32(grav.xke)
     ecose = axnl * coseo1 + aynl * sineo1
     esine = axnl * sineo1 - aynl * coseo1
     el2 = axnl * axnl + aynl * aynl
@@ -532,7 +536,8 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     cosu = am_rl * (coseo1 - axnl + aynl * temp_b)
     sin2u = (cosu + cosu) * sinu
     cos2u = 1.0 - 2.0 * sinu * sinu
-    temp_p = 1.0 / pl_safe
+    rsq_pl = jax.lax.rsqrt(pl_safe)
+    temp_p = rsq_pl * rsq_pl
     temp1 = 0.5 * _f32(grav.j2) * temp_p
     temp2 = temp1 * temp_p
 
@@ -558,10 +563,13 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     if not want_vel:
         return mrt_re * ux, mrt_re * uy, mrt_re * uz, error
 
-    rdotl = jnp.sqrt(am_safe) * esine * rl_inv
-    rvdotl = jnp.sqrt(pl_safe) * rl_inv
-    mvt = rdotl - nm * temp1 * x1mth2 * sin2u / xke32
-    rvdot = rvdotl + nm * temp1 * (x1mth2 * cos2u + 1.5 * con41) / xke32
+    # sqrt(am) = am * rsqrt(am); sqrt(pl)/rl = pl * rsqrt(pl) / rl;
+    # nm/xke = rsqrt(am)^3 — the two /xke divides vanish entirely
+    rdotl = am_safe * rsq_am * esine * rl_inv
+    rvdotl = pl_safe * rsq_pl * rl_inv
+    nm_oxke = rsq_am * rsq_am * rsq_am
+    mvt = rdotl - nm_oxke * temp1 * x1mth2 * sin2u
+    rvdot = rvdotl + nm_oxke * temp1 * (x1mth2 * cos2u + 1.5 * con41)
     vx_ = xmx * cossu - cnod * sinsu
     vy_ = xmy * cossu - snod * sinsu
     vz_ = sini * cossu
@@ -768,7 +776,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
                        _f32(els.a))
     am = a_base * tempa * tempa
     am_safe = jnp.where(am > 0.0, am, 1.0)
-    nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
+    rsq_am = jax.lax.rsqrt(am_safe)
 
     em = ecco - tempe + _f32(deep.dedt) * t32
     inclm = inclo + _f32(deep.didt) * t32
@@ -817,7 +825,7 @@ def propagate_fast(els: Sgp4Elements, deep: Optional[DeepElements], tsince,
     # TEME (the same helper the shallow and deep Pallas tails use, so
     # the XLA mixed path is bit-identical to the deep kernel's tail)
     rx, ry, rz, vx, vy, vz, error = _kepler_posvel_f32(
-        grav, kepler_iters, u, am, am_safe, nm, ep, argpp, sin_node,
+        grav, kepler_iters, u, am, am_safe, rsq_am, ep, argpp, sin_node,
         cos_node, sinip, cosip, aycof, xlcof, con41, x1mth2, x7thm1,
         error)
     r = jnp.stack([rx, ry, rz], axis=-1)
@@ -978,7 +986,7 @@ def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
     a_base = pow23(xke32 / jnp.where(bad_nm, jnp.float32(1e-8), nm_deep))
     am = a_base * tempa * tempa
     am_safe = jnp.where(am > 0.0, am, _f32(1.0))
-    nm = xke32 * jax.lax.rsqrt(am_safe) / am_safe
+    rsq_am = jax.lax.rsqrt(am_safe)
 
     em = ecco - tempe + dedt * t32
     inclm = inclo + didt * t32
@@ -1017,8 +1025,8 @@ def deep_tail_f32(grav: GravityModel, kepler_iters: int, t32, u_base, mm,
     x1mth2 = 1.0 - cosisq
     x7thm1 = 7.0 * cosisq - 1.0
 
-    return _kepler_posvel_f32(grav, kepler_iters, u, am, am_safe, nm, ep,
-                              argpp, sin_node, cos_node, sinip, cosip,
+    return _kepler_posvel_f32(grav, kepler_iters, u, am, am_safe, rsq_am,
+                              ep, argpp, sin_node, cos_node, sinip, cosip,
                               aycof, xlcof, con41, x1mth2, x7thm1, error,
                               want_vel=want_vel)
 
