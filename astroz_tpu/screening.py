@@ -42,6 +42,21 @@ from .tle import Tle
 _PAD_POS = 1.0e7
 
 
+def _positions_planes_f32(cat: SatCatalog, jd, fr=None,
+                          method: str = "fast",
+                          park_offset: float = 0.0):
+    """(3, n_times, n_sats) TEME position planes as f32 — the kernels'
+    native layout, no minor-dim-3 relayout (for the Pallas screen)."""
+    r, _, err = propagate(cat, jd, fr, velocities=False, method=method,
+                          layout="planes")
+    r = jnp.asarray(r, jnp.float32)
+    bad = (err != 0)[None, ...]
+    park = (_PAD_POS + park_offset
+            + 1.0e6 * jnp.arange(r.shape[2],
+                                 dtype=jnp.float32))[None, None, :]
+    return jnp.where(bad, park, r)
+
+
 def _positions_f32(cat: SatCatalog, jd, fr=None, method: str = "fast",
                    park_offset: float = 0.0):
     """(n_times, n_sats, 3) TEME positions as f32, plus error mask."""
@@ -229,6 +244,16 @@ def _refine_pairs(r, ii, jj, pad: int):
     return d.min(axis=0), d.argmin(axis=0)
 
 
+@partial(jax.jit, static_argnames=("pad",))
+def _refine_pairs_planes(r_planes, ii, jj, pad: int):
+    """Exact min-over-time distances for candidate pairs on (3, T, N)
+    component planes (direct difference — no cancellation)."""
+    ri = r_planes[:, :, ii]            # (3, T, P)
+    rj = r_planes[:, :, jj]
+    d = jnp.sqrt(((ri - rj) ** 2).sum(axis=0))   # (T, P)
+    return d.min(axis=0), d.argmin(axis=0)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_mask(mask, cap: int):
     """Fixed-cap on-device index compaction of a boolean matrix:
@@ -247,9 +272,82 @@ def _cap_bucket(count: int, floor: int = 1 << 10) -> int:
     return max(floor, 1 << (c - 1).bit_length())
 
 
+def _screen_all_pallas(cat: SatCatalog, jd, fr, *, threshold_km: float,
+                       method: str, max_pairs: int,
+                       interpret: bool = False):
+    """Single-chip Pallas coarse pass: the whole (N, N) min-distance
+    matrix in one (or a few) fused kernel programs — see
+    :mod:`astroz_tpu.ops.pallas_screen`. The direct-difference coarse
+    distances are exact to f32 rounding, so no guard band is added and
+    the refine pass only recovers argmin-t for the survivors."""
+    from .ops.pallas_screen import coarse_min_all
+
+    n = len(cat)
+    r_pl = _positions_planes_f32(cat, jd, fr, method)    # (3, T, N)
+    # tiny ULP cushion so a boundary pair never flips between the
+    # kernel's d^2 compare and the refine's sqrt-then-compare
+    thr2 = np.float32((threshold_km * (1.0 + 1.0e-6)) ** 2)
+
+    cand_i, cand_j = [], []
+    for j0, dmin in coarse_min_all(r_pl, interpret=interpret):
+        w = dmin.shape[1]
+        # strict upper triangle on device: drops self-pairs and the
+        # sub-diagonal halves of diagonal tiles before the count fetch
+        upper = (jnp.arange(dmin.shape[0], dtype=jnp.int32)[:, None]
+                 < jnp.int32(j0)
+                 + jnp.arange(w, dtype=jnp.int32)[None, :])
+        mask = (dmin <= thr2) & upper
+        count = int(mask.sum())
+        if count == 0:
+            continue
+        cap = _cap_bucket(min(count, mask.size))
+        ii, jj = (np.asarray(x) for x in _compact_mask(mask, cap))
+        ii = ii[:count].astype(np.int64)
+        jj = jj[:count].astype(np.int64) + j0
+        cand_i.append(ii)
+        cand_j.append(jj)
+    ci = np.concatenate(cand_i) if cand_i else np.empty(0, np.int64)
+    cj = np.concatenate(cand_j) if cand_j else np.empty(0, np.int64)
+    keep = (ci < n) & (cj < n)   # padding lanes park far away anyway
+    ci, cj = ci[keep], cj[keep]
+    if ci.size > max_pairs:
+        import warnings
+        warnings.warn(
+            f"screen_all: coarse candidate set ({ci.size}) exceeds "
+            f"max_pairs ({max_pairs}); candidates are truncated BEFORE "
+            "the exact refine, so real conjunctions may be dropped — "
+            "raise max_pairs or lower threshold_km", stacklevel=3)
+        ci, cj = ci[:max_pairs], cj[:max_pairs]
+    if ci.size == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64), np.empty(0, np.int64))
+
+    n_times = r_pl.shape[1]
+    chunk_cap = max(1 << 12, (1 << 26) // max(n_times, 1))
+    dmin = np.empty(ci.size, np.float32)
+    tmin = np.empty(ci.size, np.int64)
+    for c0 in range(0, ci.size, chunk_cap):
+        c1 = min(c0 + chunk_cap, ci.size)
+        pad = 1 << max(6, math.ceil(math.log2(c1 - c0)))
+        ii = np.zeros(pad, np.int64)
+        jj = np.zeros(pad, np.int64)
+        ii[:c1 - c0], jj[:c1 - c0] = ci[c0:c1], cj[c0:c1]
+        d, t = _refine_pairs_planes(r_pl, jnp.asarray(ii),
+                                    jnp.asarray(jj), pad)
+        dmin[c0:c1] = np.asarray(d)[:c1 - c0]
+        tmin[c0:c1] = np.asarray(t)[:c1 - c0]
+    hit = dmin < threshold_km
+    ci, cj = ci[hit], cj[hit]
+    d_out = dmin[hit].astype(np.float64)
+    t_out = tmin[hit]
+    order = np.lexsort((cj, ci))
+    return ci[order], cj[order], d_out[order], t_out[order]
+
+
 def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
                block: int = 2048, method: str = "fast",
-               max_pairs: int = 10_000_000, mesh=None):
+               max_pairs: int = 10_000_000, mesh=None,
+               engine: Optional[str] = None, _interpret: bool = False):
     """All-vs-all conjunction screen over the given epochs.
 
     Returns ``(i, j, min_dist_km, t_index)`` numpy arrays for every
@@ -257,8 +355,21 @@ def screen_all(cat: SatCatalog, jd, fr=None, *, threshold_km: float = 5.0,
     at ``max_pairs`` (reference cap: conjunction.zig:133). Pass a
     ``jax.sharding.Mesh`` to distribute the coarse pass over all its
     devices (time-sharded, merged with one pmin collective).
+
+    ``engine``: ``"pallas"`` (default on single-chip TPU) runs the
+    coarse pass as one fused VMEM-resident kernel; ``"xla"`` (default
+    elsewhere and whenever a multi-device mesh is given) runs the
+    blocked Gram-expansion pass.
     """
     n = len(cat)
+    multi = mesh is not None and mesh.devices.size > 1
+    if engine is None:
+        from .propagation import default_engine
+        engine = "xla" if multi else default_engine()
+    if engine == "pallas" and not multi:
+        return _screen_all_pallas(cat, jd, fr, threshold_km=threshold_km,
+                                  method=method, max_pairs=max_pairs,
+                                  interpret=_interpret)
     r = _positions_f32(cat, jd, fr, method)
     n_pad = (-n) % block
     if n_pad:

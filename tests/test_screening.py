@@ -67,6 +67,60 @@ def test_screen_all_matches_brute_force(shell_cat, times):
         assert abs(got[(i, j)] - d) < 0.05  # f32 refine vs f64 brute
 
 
+def test_screen_all_pallas_matches_xla(shell_cat, times):
+    """The fused Pallas coarse pass (interpret mode on CPU) returns the
+    exact same hit set as the blocked XLA Gram pass — both refine with
+    the same f32 direct difference, and the Pallas coarse is itself
+    exact, so outputs must match to the last index."""
+    thr = 50.0
+    xi, xj, xd, xt = screen_all(shell_cat, times, threshold_km=thr,
+                                block=64)
+    pi, pj, pd, pt = screen_all(shell_cat, times, threshold_km=thr,
+                                engine="pallas", _interpret=True)
+    assert len(pi) == len(xi) > 0
+    np.testing.assert_array_equal(pi, xi)
+    np.testing.assert_array_equal(pj, xj)
+    np.testing.assert_allclose(pd, xd, atol=1e-6)
+    np.testing.assert_array_equal(pt, xt)
+
+
+def test_pallas_coarse_chunked_matches_single_shot():
+    """Column-chunked kernel invocations (small max_bytes, shared
+    compile via the prefetched j0 scalar) reproduce the single-shot
+    pass exactly on the strict upper triangle."""
+    from astroz_tpu.ops.pallas_screen import J_BLOCK, coarse_min_all
+    from astroz_tpu.screening import _positions_planes_f32
+
+    cat = build_catalog(synthetic_leo_text(600, seed=5))
+    epoch = float(cat.epochs_jd[0])
+    t = epoch + np.linspace(0.0, 0.05, 24)
+    r_pl = _positions_planes_f32(cat, t)                 # (3, T, 600)
+
+    ((_, full),) = coarse_min_all(r_pl, interpret=True)
+    n_pad = full.shape[0]
+    assert n_pad == 1024 and full.shape[1] == n_pad
+    chunks = list(coarse_min_all(r_pl, interpret=True,
+                                 max_bytes=4 * n_pad * J_BLOCK))
+    assert len(chunks) == n_pad // J_BLOCK > 1
+    got = np.full((n_pad, n_pad), np.inf, np.float32)
+    for j0, dmin in chunks:
+        got[:, j0:j0 + dmin.shape[1]] = np.asarray(dmin)
+    iu = np.triu_indices(n_pad, k=1)
+    np.testing.assert_array_equal(got[iu], np.asarray(full)[iu])
+
+
+def test_screen_all_pallas_mixed_catalog():
+    """Deep + LEO mixed catalog through the Pallas screen engine."""
+    cat = build_catalog(MIXED_TEXT)
+    epoch = float(cat.epochs_jd[0])
+    t = epoch + np.linspace(0.0, 0.1, 24)
+    xi = screen_all(cat, t, threshold_km=1.0e5)
+    pi = screen_all(cat, t, threshold_km=1.0e5, engine="pallas",
+                    _interpret=True)
+    for a, b in zip(pi, xi):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_screen_all_empty_when_threshold_tiny(shell_cat, times):
     si, sj, sd, st = screen_all(shell_cat, times, threshold_km=1e-6,
                                 block=64)
