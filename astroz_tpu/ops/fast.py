@@ -298,11 +298,18 @@ def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     tests/test_fast.py); 5 suffices for e <= 0.35 (the shallow-catalog
     case, chosen per-catalog by the caller).
     """
+    # Newton denominators 1 - e*cos(E - w) are bounded below by
+    # 1 - e > 0 (em is clamped to <= 0.999999 upstream), so each
+    # trip's divide is spelled as an rsqrt square — Mosaic lowers a
+    # true f32 divide as a longer VPU sequence than rsqrt + 2 muls,
+    # and a ~1-ulp reciprocal error only perturbs a self-correcting
+    # Newton step (rung gates in tests/test_fast.py re-validated).
     eo1 = u
     sineo1, coseo1 = sincos(eo1)
     for _ in range(iters - 1):
         denom = 1.0 - coseo1 * axnl - sineo1 * aynl
-        tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / denom
+        rde = jax.lax.rsqrt(denom)
+        tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) * (rde * rde)
         # minimum/maximum instead of jnp.clip: clip lowers with f64
         # constants under x64, which Mosaic cannot compile
         eo1 = eo1 + jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
@@ -314,7 +321,8 @@ def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     # d <= 0.06) — instead of a full polynomial sincos recompute.
     # Rung-gated in tests/test_fast.py at 1.2x each rung bound.
     denom = 1.0 - coseo1 * axnl - sineo1 * aynl
-    tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) / denom
+    rde = jax.lax.rsqrt(denom)
+    tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) * (rde * rde)
     d = jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
     eo1 = eo1 + d
     d2h = 0.5 * d * d
@@ -513,7 +521,10 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     # ---- long-period terms + Kepler (Sgp4.zig:646-750) -------------------
     sin_argpp, cos_argpp = sincos(argpp)
     axnl = ep * cos_argpp
-    temp_lp = 1.0 / (am_safe * (1.0 - ep * ep))
+    # am_safe > 0 and ep <= 0.999999, so the long-period denominator is
+    # strictly positive: 1/x as an rsqrt square (see solve_kepler_fast)
+    rs_lp = jax.lax.rsqrt(am_safe * (1.0 - ep * ep))
+    temp_lp = rs_lp * rs_lp
     aynl = ep * sin_argpp + temp_lp * aycof
     u_kep = _wrap_two_pi_f32(u + temp_lp * xlcof * axnl)
     eo1, sineo1, coseo1 = solve_kepler_fast(u_kep, axnl, aynl,
@@ -530,7 +541,12 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     rl = am * (1.0 - ecose)
     rl_inv = 1.0 / rl  # shared: three downstream quotients by rl
     betal = jnp.sqrt(jnp.abs(1.0 - el2))
-    temp_b = esine / (1.0 + betal)
+    # 1 + betal is in [1, 2]: another strictly-positive reciprocal.
+    # rl_inv above KEEPS its true divide — rl can go non-positive on
+    # pathological lanes and the sign must survive so the mrt < 1
+    # error check still fires (rsqrt would turn it into a quiet NaN).
+    rs_b = jax.lax.rsqrt(1.0 + betal)
+    temp_b = esine * (rs_b * rs_b)
     am_rl = am * rl_inv
     sinu = am_rl * (sineo1 - aynl - axnl * temp_b)
     cosu = am_rl * (coseo1 - axnl + aynl * temp_b)
