@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from ..constants import GravityModel, TWO_PI
-from .fastmath import angle_add, sincos
+from .fastmath import angle_add, div_pos, recip_pos, sincos
 from .sgp4 import Sgp4Elements
 from .sdp4 import (DeepElements, ResonanceCarry, FASX2, FASX4, FASX6, G22,
                    G32, G44, G52, G54, RPTIM, STEPP, STEP2, ZEL, ZES, ZNL,
@@ -304,12 +304,17 @@ def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     # true f32 divide as a longer VPU sequence than rsqrt + 2 muls,
     # and a ~1-ulp reciprocal error only perturbs a self-correcting
     # Newton step (rung gates in tests/test_fast.py re-validated).
+    # recip_pos picks the engine flavor: rsqrt + 2 muls inside Pallas
+    # kernels (Mosaic lowers a true divide as a longer VPU sequence), a
+    # true divide in XLA programs — XLA:CPU's rsqrt codegen is
+    # fusion-dependent, which made the velocities=True/False programs'
+    # POSITIONS bit-diverge on deep lanes (gate:
+    # tests/test_layouts.py::test_velocities_false_fast).
     eo1 = u
     sineo1, coseo1 = sincos(eo1)
     for _ in range(iters - 1):
         denom = 1.0 - coseo1 * axnl - sineo1 * aynl
-        rde = jax.lax.rsqrt(denom)
-        tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) * (rde * rde)
+        tem5 = div_pos(u - aynl * coseo1 + axnl * sineo1 - eo1, denom)
         # minimum/maximum instead of jnp.clip: clip lowers with f64
         # constants under x64, which Mosaic cannot compile
         eo1 = eo1 + jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
@@ -321,8 +326,7 @@ def solve_kepler_fast(u, axnl, aynl, iters: int = 8):
     # d <= 0.06) — instead of a full polynomial sincos recompute.
     # Rung-gated in tests/test_fast.py at 1.2x each rung bound.
     denom = 1.0 - coseo1 * axnl - sineo1 * aynl
-    rde = jax.lax.rsqrt(denom)
-    tem5 = (u - aynl * coseo1 + axnl * sineo1 - eo1) * (rde * rde)
+    tem5 = div_pos(u - aynl * coseo1 + axnl * sineo1 - eo1, denom)
     d = jnp.minimum(jnp.maximum(tem5, -0.95), 0.95)
     eo1 = eo1 + d
     d2h = 0.5 * d * d
@@ -523,8 +527,7 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     axnl = ep * cos_argpp
     # am_safe > 0 and ep <= 0.999999, so the long-period denominator is
     # strictly positive: 1/x as an rsqrt square (see solve_kepler_fast)
-    rs_lp = jax.lax.rsqrt(am_safe * (1.0 - ep * ep))
-    temp_lp = rs_lp * rs_lp
+    temp_lp = recip_pos(am_safe * (1.0 - ep * ep))
     aynl = ep * sin_argpp + temp_lp * aycof
     u_kep = _wrap_two_pi_f32(u + temp_lp * xlcof * axnl)
     eo1, sineo1, coseo1 = solve_kepler_fast(u_kep, axnl, aynl,
@@ -545,8 +548,7 @@ def _kepler_posvel_f32(grav: GravityModel, kepler_iters: int, u, am,
     # rl_inv above KEEPS its true divide — rl can go non-positive on
     # pathological lanes and the sign must survive so the mrt < 1
     # error check still fires (rsqrt would turn it into a quiet NaN).
-    rs_b = jax.lax.rsqrt(1.0 + betal)
-    temp_b = esine * (rs_b * rs_b)
+    temp_b = div_pos(esine, 1.0 + betal)
     am_rl = am * rl_inv
     sinu = am_rl * (sineo1 - aynl - axnl * temp_b)
     cosu = am_rl * (coseo1 - axnl + aynl * temp_b)

@@ -203,6 +203,39 @@ def _nofold(x):
     return _jax.lax.optimization_barrier(x)
 
 
+def recip_pos(x):
+    """Reciprocal of a strictly positive f32 value, engine-flavored.
+
+    Inside Pallas kernel traces (no_barriers active) this is
+    rsqrt(x)^2: Mosaic lowers a true f32 divide as a longer VPU
+    sequence than rsqrt + 2 muls and runs no algebraic simplifier that
+    could undo the spelling. In XLA programs it stays a TRUE DIVIDE:
+    XLA:CPU lowers rsqrt with fusion-dependent codegen, so the same
+    logical tail came out bit-different between the velocities=True
+    and velocities=False programs when both spelled it as an rsqrt
+    square (even _nofold-barriered) — a divide is deterministic across
+    programs. Either flavor is within ~1 ulp; the Kepler rung gates in
+    tests/test_fast.py cover both."""
+    if _BARRIERS_ON == "pallas":
+        import jax as _jax
+        r = _jax.lax.rsqrt(x)
+        return r * r
+    return 1.0 / x
+
+
+def div_pos(num, den):
+    """``num / den`` for strictly positive ``den``, engine-flavored
+    like :func:`recip_pos` — but keeping a TRUE division node in XLA
+    programs: even ``num * (1/den)`` gets canonicalized
+    fusion-dependently there, which was enough to bit-diverge shared
+    positions between programs."""
+    if _BARRIERS_ON == "pallas":
+        import jax as _jax
+        r = _jax.lax.rsqrt(den)
+        return num * (r * r)
+    return num / den
+
+
 def df_split(x):
     """Dekker split of an f32 into 12-bit-high + low halves (no FMA)."""
     c = x * 4097.0

@@ -176,12 +176,16 @@ def propagate_fast_pallas(els: Sgp4Elements, tsince, grav: GravityModel,
                         memory_space=pltpu.VMEM)],
         out_specs=_out_specs(time_block, sat_block, want_vel),
     )
-    outs = pl.pallas_call(
-        functools.partial(_kernel, grav, kepler_iters, want_vel),
-        out_shape=_out_shapes(n_times, n_sats, want_vel),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*grids, fields, simp, err0)
+    # no_barriers: the shared tail carries _nofold barriers (XLA-side
+    # determinism guards) that Mosaic cannot lower — inside the kernel
+    # they become free bitcast round trips
+    with no_barriers():
+        outs = pl.pallas_call(
+            functools.partial(_kernel, grav, kepler_iters, want_vel),
+            out_shape=_out_shapes(n_times, n_sats, want_vel),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(*grids, fields, simp, err0)
     return _assemble(outs, n_times, n_sats, want_vel)
 
 
@@ -475,12 +479,13 @@ def propagate_deep_pallas(els: Sgp4Elements, deep, tsince,
                         memory_space=pltpu.VMEM)],
         out_specs=_out_specs(time_block, sat_block, want_vel),
     )
-    outs = pl.pallas_call(
-        functools.partial(_kernel_deep, grav, kepler_iters, want_vel),
-        out_shape=_out_shapes(n_times, n_sats, want_vel),
-        grid_spec=grid_spec,
-        interpret=interpret,
-    )(*grids, fields, err0)
+    with no_barriers():  # _nofold in the shared Kepler tail (see above)
+        outs = pl.pallas_call(
+            functools.partial(_kernel_deep, grav, kepler_iters, want_vel),
+            out_shape=_out_shapes(n_times, n_sats, want_vel),
+            grid_spec=grid_spec,
+            interpret=interpret,
+        )(*grids, fields, err0)
 
     if planes:
         return outs

@@ -324,7 +324,10 @@ def main():
 
         return lax.fori_loop(0, k, body, probe0)
 
+    t0 = time.perf_counter()
     fetch([run_chunk(ts, js) for ts, js in chunks])  # warmup / compile
+    print(f"# warmup compile+run: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
     # slope method: wall(K) = fixed_overhead + K * t_exec, so the
     # difference of two run lengths isolates true per-sweep time
@@ -336,7 +339,10 @@ def main():
             # execute failure here falls back to dispatch mode so one
             # backend quirk can't lose the benchmark record
             for k in (2, 6):
+                t0 = time.perf_counter()
                 np.asarray(run_looped(ts0, js0, k))
+                print(f"# looped k={k} compile+run: "
+                      f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001
             print(f"# looped mode unavailable ({exc}); "
                   "falling back to per-sweep dispatch", file=sys.stderr)
@@ -390,12 +396,17 @@ def main():
     # window is the honest answer.
     good_elapsed = N_SATS * N_TIMES * INNER_REPS / 4.3e9
     on_tpu = jax.devices()[0].platform == "tpu"
+    props_w = N_SATS * N_TIMES * INNER_REPS
     elapsed = measure()
-    for _ in range(10 if on_tpu else 0):
+    print(f"# window 0: {props_w / elapsed / 1e9:.2f}G props/s",
+          file=sys.stderr)
+    for w in range(10 if on_tpu else 0):
         if elapsed <= good_elapsed:
             break
         time.sleep(40)
         elapsed = min(elapsed, measure())
+        print(f"# window {w + 1}: best {props_w / elapsed / 1e9:.2f}G "
+              "props/s", file=sys.stderr)
 
     props = N_SATS * N_TIMES * INNER_REPS
     props_per_s = props / elapsed
